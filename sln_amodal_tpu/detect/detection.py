@@ -1,0 +1,116 @@
+"""Detection layer (inference): classify, refine, filter to final detections.
+
+Static-shape equivalent of ``refine_detections`` / ``detection_layer``
+(``/root/reference/modal/Functions.py:423-575``) with the shipped
+``USE_NMS = False`` semantics:
+
+- per-ROI argmax class + class-specific deltas (scaled by RPN_BBOX_STD_DEV,
+  matching ``coordinate_convert`` Functions.py:439),
+- scale to pixel coords, clip to the image-meta window, round,
+- keep foreground (class_id > 0), top ``detection_max_instances`` by score,
+  sorted descending,
+- output rows (y1, x1, y2, x2, class_id, score) in pixels; empty slots are
+  all-zero (class_id 0), which downstream unmolding uses as the cutoff —
+  same convention as the reference's zero padding.
+
+The optional per-class-NMS branch (USE_NMS=True, Functions.py:492-525) is
+implemented too, for API completeness.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import apply_box_deltas
+from ..ops.nms import nms_sorted
+
+
+def refine_detections(
+    rois: jnp.ndarray,
+    roi_valid: jnp.ndarray,
+    probs: jnp.ndarray,
+    deltas: jnp.ndarray,
+    window,
+    *,
+    image_size: int,
+    bbox_std_dev,
+    max_instances: int,
+    min_confidence: float = 0.0,
+    use_nms: bool = False,
+    nms_threshold: float = 0.3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-image detection refinement.
+
+    Args:
+        rois: [R, 4] normalized proposals (zero-padded).
+        roi_valid: [R] bool.
+        probs: [R, C] class probabilities.
+        deltas: [R, C, 4] class-specific refinements.
+        window: (y1, x1, y2, x2) pixel window containing the real image.
+
+    Returns:
+        detections: [max_instances, 6] (y1, x1, y2, x2, class_id, score),
+            pixel coords, zero rows past the last detection.
+        valid: [max_instances] bool.
+    """
+    r = rois.shape[0]
+    class_ids = jnp.argmax(probs, axis=1)
+    idx = jnp.arange(r)
+    class_scores = probs[idx, class_ids]
+    deltas_specific = deltas[idx, class_ids]
+
+    std = jnp.asarray(bbox_std_dev, jnp.float32)
+    refined = apply_box_deltas(rois.astype(jnp.float32), deltas_specific * std[None])
+    refined = refined * float(image_size)
+
+    wy1, wx1, wy2, wx2 = window
+    refined = jnp.stack(
+        [
+            jnp.clip(refined[:, 0], wy1, wy2),
+            jnp.clip(refined[:, 1], wx1, wx2),
+            jnp.clip(refined[:, 2], wy1, wy2),
+            jnp.clip(refined[:, 3], wx1, wx2),
+        ],
+        axis=1,
+    )
+    refined = jnp.round(refined)
+
+    keep = (class_ids > 0) & roi_valid
+    if min_confidence > 0:
+        keep = keep & (class_scores >= min_confidence)
+
+    if use_nms:
+        # Per-class NMS. With the single-foreground-class setup there is one
+        # class; run NMS over kept boxes sorted by score.
+        score_key = jnp.where(keep, class_scores, -jnp.inf)
+        order = jnp.argsort(-score_key)
+        sorted_boxes = refined[order]
+        sorted_valid = keep[order]
+        nms_keep, nms_valid = nms_sorted(
+            sorted_boxes,
+            sorted_valid,
+            max_outputs=r,
+            iou_threshold=nms_threshold,
+            plus_one=True,
+        )
+        keep_after = jnp.zeros((r,), bool)
+        keep_after = keep_after.at[order[jnp.maximum(nms_keep, 0)]].set(nms_valid)
+        keep = keep & keep_after
+
+    # Top-max_instances by score among kept, sorted descending
+    # (Functions.py:528-547: cap at 100 then sort).
+    score_key = jnp.where(keep, class_scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(score_key, max_instances)
+    valid = top_scores > -jnp.inf
+
+    det_boxes = refined[top_idx]
+    det_ids = class_ids[top_idx].astype(jnp.float32)
+    det_scores = class_scores[top_idx]
+    detections = jnp.concatenate(
+        [det_boxes, det_ids[:, None], det_scores[:, None]], axis=1
+    )
+    detections = jnp.where(valid[:, None], detections, 0.0)
+    return detections, valid

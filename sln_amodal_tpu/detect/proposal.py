@@ -1,0 +1,68 @@
+"""Proposal layer: RPN outputs → top-K → deltas → clip → NMS → padded ROIs.
+
+Static-shape equivalent of the reference proposal layer
+(``/root/reference/modal/Functions.py:114-178``): scores sorted descending,
+top ``pre_nms_limit`` anchors refined by (deltas * RPN_BBOX_STD_DEV), clipped
+to the image, greedy NMS (legacy +1 IoU, suppress at ``>``), top
+``proposal_count`` kept, normalized to [0, 1].
+
+Everything is per-image; batch via ``jax.vmap``. Outputs are fixed-size with
+a validity mask instead of the reference's variable-length tensor.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import apply_box_deltas, clip_boxes
+from ..ops.nms import nms_sorted
+
+
+def proposal_layer(
+    rpn_probs: jnp.ndarray,
+    rpn_deltas: jnp.ndarray,
+    anchors: jnp.ndarray,
+    *,
+    proposal_count: int,
+    nms_threshold: float,
+    image_size: int,
+    rpn_bbox_std_dev,
+    pre_nms_limit: int = 6000,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-image proposals.
+
+    Args:
+        rpn_probs: [A, 2] softmax over (bg, fg) per anchor.
+        rpn_deltas: [A, 4] predicted refinements.
+        anchors: [A, 4] pixel-coordinate anchors.
+
+    Returns:
+        proposals: [proposal_count, 4] normalized (y1, x1, y2, x2), zero-padded.
+        valid: [proposal_count] bool.
+    """
+    scores = rpn_probs[:, 1]
+    std = jnp.asarray(rpn_bbox_std_dev, jnp.float32)
+    deltas = rpn_deltas.astype(jnp.float32) * std[None, :]
+
+    k = min(pre_nms_limit, anchors.shape[0])
+    top_scores, order = jax.lax.top_k(scores, k)
+    deltas = deltas[order]
+    top_anchors = anchors[order]
+
+    boxes = apply_box_deltas(top_anchors.astype(jnp.float32), deltas)
+    boxes = clip_boxes(boxes, (0.0, 0.0, float(image_size), float(image_size)))
+
+    keep, keep_valid = nms_sorted(
+        boxes,
+        jnp.ones((k,), bool),
+        max_outputs=proposal_count,
+        iou_threshold=nms_threshold,
+        plus_one=True,
+    )
+    kept = boxes[jnp.maximum(keep, 0)]
+    kept = jnp.where(keep_valid[:, None], kept, 0.0)
+    normalized = kept / float(image_size)
+    return normalized, keep_valid

@@ -1,0 +1,3 @@
+from .backbone import ResNetFPN  # noqa: F401
+from .heads import RPNHead, ClassifierHead, MaskHead  # noqa: F401
+from .deeplab import DeepLabV2MSC  # noqa: F401

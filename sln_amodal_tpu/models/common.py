@@ -1,0 +1,122 @@
+"""Shared model building blocks (flax.linen, NHWC, TPU-native).
+
+Numerical conventions deliberately match the reference's torch graphs so that
+converted weights reproduce activations:
+
+- convolutions use torch-style *symmetric* explicit padding where the
+  reference uses torch padding, and TF-"SAME"-style padding where the
+  reference uses its ``SamePad2d`` shim (``/root/reference/modal/modals.py:159-184``
+  — for stride 1 / odd kernels the two coincide);
+- batch norm is **frozen** everywhere, exactly like the live reference path
+  (``/root/reference/model.py:192-197,526-531``): stored running statistics
+  applied as a scale/shift. Frozen-BN parameters live under names containing
+  ``frozen_bn`` and are excluded from every optimizer stage.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode batch norm: y = gamma * (x - mean) / sqrt(var + eps) + beta.
+
+    The four arrays are stored as params for checkpoint fidelity but are
+    masked out of all optimizers (see train/optim.py).
+    """
+
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (dim,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (dim,), jnp.float32)
+        inv = gamma * jax.lax.rsqrt(var + self.epsilon)
+        scale = inv.astype(x.dtype)
+        shift = (beta - mean * inv).astype(x.dtype)
+        return x * scale + shift
+
+
+def same_pad_amounts(size: int, kernel: int, stride: int) -> Tuple[int, int]:
+    """TF-'SAME' pad (before, after) for one spatial dim — the rule the
+    reference's SamePad2d implements (modals.py:168-181)."""
+    out = math.ceil(size / stride)
+    pad = max((out - 1) * stride + kernel - size, 0)
+    before = pad // 2
+    return before, pad - before
+
+
+def max_pool_torch(
+    x: jnp.ndarray, kernel: int, stride: int, padding: int, ceil_mode: bool = False
+) -> jnp.ndarray:
+    """torch-semantics 2-D max pool on NHWC, incl. ceil_mode.
+
+    torch output size: floor-or-ceil((S + 2p - k)/s) + 1, with the ceil-mode
+    constraint that the last window must start inside input+left-pad.
+    """
+    _, h, w, _ = x.shape
+
+    def out_size(s):
+        v = (s + 2 * padding - kernel) / stride
+        o = math.ceil(v) + 1 if ceil_mode else math.floor(v) + 1
+        if ceil_mode and (o - 1) * stride >= s + padding:
+            o -= 1
+        return o
+
+    oh, ow = out_size(h), out_size(w)
+    need_h = (oh - 1) * stride + kernel
+    need_w = (ow - 1) * stride + kernel
+    pad_h = (padding, max(need_h - h - padding, 0))
+    pad_w = (padding, max(need_w - w - padding, 0))
+    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), pad_h, pad_w, (0, 0)),
+    )
+
+
+def max_pool_same(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+    """Max pool with TF-'SAME' padding (= reference SamePad2d + valid pool)."""
+    _, h, w, _ = x.shape
+    pad_h = same_pad_amounts(h, kernel, stride)
+    pad_w = same_pad_amounts(w, kernel, stride)
+    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), pad_h, pad_w, (0, 0)),
+    )
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample (torch F.upsample default mode)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers (torch align_corners=False)."""
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+
+
+def subsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 subsample = the reference's MaxPool2d(kernel=1, stride=2)
+    used for FPN P6 (modals.py:212)."""
+    return x[:, ::2, ::2, :]

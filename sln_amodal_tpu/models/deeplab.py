@@ -1,0 +1,155 @@
+"""DeepLabV2-ResNet101-MSC "GLM" global semantic prior (flax.linen, NHWC).
+
+The frozen semantic-segmentation network whose per-pixel class posterior
+feeds the layer-mask head. Architecture per the reference
+(``/root/reference/modal/deeplabv2.py``, ``msc_deeplab.py``,
+``resnet_deeplab.py``):
+
+- dilated ResNet-101, output stride 8 (layer4 dilation 2, layer5 dilation 4);
+- ASPP: sum of four 3x3 convs at atrous rates 6/12/18/24 (bias=True);
+- multi-scale inference at scales (1.0, 0.5, 0.75), logits bilinearly resized
+  (align_corners=False) to the full-scale logit grid and fused by pixel max.
+
+The module is always run frozen/eval (reference ``model.py:537``); all BN is
+FrozenBatchNorm with eps 1e-5.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .common import FrozenBatchNorm, max_pool_torch, resize_bilinear
+
+
+class ConvBN(nn.Module):
+    out_ch: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(
+            self.out_ch,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        y = FrozenBatchNorm(epsilon=1e-5, name="frozen_bn")(y)
+        return nn.relu(y) if self.relu else y
+
+
+class DLBottleneck(nn.Module):
+    out_ch: int
+    stride: int
+    dilation: int
+    downsample: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.out_ch // 4
+        h = ConvBN(mid, 1, self.stride, 0, 1, True, self.dtype, name="reduce")(x)
+        h = ConvBN(mid, 3, 1, self.dilation, self.dilation, True, self.dtype,
+                   name="conv3x3")(h)
+        h = ConvBN(self.out_ch, 1, 1, 0, 1, False, self.dtype, name="increase")(h)
+        if self.downsample:
+            sc = ConvBN(self.out_ch, 1, self.stride, 0, 1, False, self.dtype,
+                        name="shortcut")(x)
+        else:
+            sc = x
+        return nn.relu(h + sc)
+
+
+class DLResLayer(nn.Module):
+    n_layers: int
+    out_ch: int
+    stride: int
+    dilation: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.n_layers):
+            x = DLBottleneck(
+                self.out_ch,
+                stride=self.stride if i == 0 else 1,
+                dilation=self.dilation,
+                downsample=(i == 0),
+                dtype=self.dtype,
+                name=f"block{i + 1}",
+            )(x)
+        return x
+
+
+class ASPP(nn.Module):
+    n_classes: int
+    rates: Sequence[int] = (6, 12, 18, 24)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        for i, rate in enumerate(self.rates):
+            outs.append(
+                nn.Conv(
+                    self.n_classes,
+                    (3, 3),
+                    padding=[(rate, rate)] * 2,
+                    kernel_dilation=(rate, rate),
+                    use_bias=True,
+                    dtype=self.dtype,
+                    name=f"c{i}",
+                )(x)
+            )
+        return sum(outs)
+
+
+class DeepLabV2(nn.Module):
+    n_classes: int = 182
+    n_blocks: Tuple[int, ...] = (3, 4, 23, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        # stem: conv7 s2 pad3 + BN + relu + maxpool k3 s2 pad1 ceil_mode
+        y = ConvBN(64, 7, 2, 3, 1, True, self.dtype, name="stem")(x)
+        y = max_pool_torch(y, kernel=3, stride=2, padding=1, ceil_mode=True)
+        y = DLResLayer(self.n_blocks[0], 256, 1, 1, self.dtype, name="layer2")(y)
+        y = DLResLayer(self.n_blocks[1], 512, 2, 1, self.dtype, name="layer3")(y)
+        y = DLResLayer(self.n_blocks[2], 1024, 1, 2, self.dtype, name="layer4")(y)
+        y = DLResLayer(self.n_blocks[3], 2048, 1, 4, self.dtype, name="layer5")(y)
+        return ASPP(self.n_classes, dtype=self.dtype, name="aspp")(y)
+
+
+class DeepLabV2MSC(nn.Module):
+    """Multi-scale fusion wrapper (inference semantics only — the GLM is
+    always frozen)."""
+
+    n_classes: int = 182
+    scales: Tuple[float, ...] = (0.5, 0.75)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        base = DeepLabV2(self.n_classes, dtype=self.dtype, name="base")
+        logits = base(x)
+        out_hw = logits.shape[1:3]
+        fused = logits.astype(jnp.float32)
+        h, w = x.shape[1:3]
+        for p in self.scales:
+            xs = resize_bilinear(x, (int(h * p), int(w * p)))
+            ls = base(xs)
+            fused = jnp.maximum(fused, resize_bilinear(ls, out_hw).astype(jnp.float32))
+        return fused

@@ -1,0 +1,127 @@
+"""RPN, classifier and layer-mask heads (flax.linen, NHWC, per-image core).
+
+Semantics follow the reference heads
+(``/root/reference/modal/modals.py:361-499``) including:
+
+- RPN anchor ordering (h, w, anchor) with per-anchor (bg, fg) channel pairs;
+- classifier: pooled 7x7 → conv(k=7, VALID) 1024 → conv1x1 1024 → linear
+  class / linear bbox (class-specific deltas);
+- mask head consumes the GLM semantic prior **concatenated in front of** the
+  FPN crop (modals.py:481: ``cat((cls_feature, x), 1)``) — 439 input channels
+  by default — and emits ``num_classes`` layer-logit channels at 2x the pooled
+  resolution via a 2x2-stride-2 transposed conv.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .common import FrozenBatchNorm
+
+
+class RPNHead(nn.Module):
+    """Shared RPN head, applied per pyramid level.
+
+    Returns (class_logits [B, HWA, 2], probs [B, HWA, 2], deltas [B, HWA, 4]).
+    """
+
+    anchors_per_location: int = 3
+    anchor_stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        b = x.shape[0]
+        s = self.anchor_stride
+        shared = nn.Conv(
+            512, (3, 3), strides=(s, s), padding="SAME", dtype=self.dtype,
+            name="conv_shared",
+        )(x)
+        shared = nn.relu(shared)
+
+        logits = nn.Conv(
+            2 * self.anchors_per_location, (1, 1), padding="VALID",
+            dtype=self.dtype, name="conv_class",
+        )(shared)
+        # [B, H, W, A*2] -> [B, H*W*A, 2]: anchor-major pairs, matching both
+        # the reference reshape (modals.py:396-398) and anchor generation order.
+        logits = logits.reshape(b, -1, 2)
+        probs = nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        deltas = nn.Conv(
+            4 * self.anchors_per_location, (1, 1), padding="VALID",
+            dtype=self.dtype, name="conv_bbox",
+        )(shared)
+        deltas = deltas.reshape(b, -1, 4)
+        return logits, probs, deltas
+
+
+class ClassifierHead(nn.Module):
+    """Box classifier + regressor over pooled ROI features.
+
+    Input: [N, pool, pool, C] pooled crops. Output:
+    (class_logits [N, num_classes], probs, deltas [N, num_classes, 4]).
+    """
+
+    num_classes: int
+    pool_size: int = 7
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        n = x.shape[0]
+        x = x.astype(self.dtype)
+        y = nn.Conv(
+            1024, (self.pool_size, self.pool_size), padding="VALID",
+            dtype=self.dtype, name="conv1",
+        )(x)
+        y = FrozenBatchNorm(name="frozen_bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(1024, (1, 1), padding="VALID", dtype=self.dtype, name="conv2")(y)
+        y = FrozenBatchNorm(name="frozen_bn2")(y)
+        y = nn.relu(y)
+        y = y.reshape(n, 1024)
+
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="linear_class")(y)
+        logits = logits.astype(jnp.float32)
+        probs = nn.softmax(logits, axis=-1)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype, name="linear_bbox")(y)
+        deltas = deltas.reshape(n, self.num_classes, 4).astype(jnp.float32)
+        return logits, probs, deltas
+
+
+class MaskHead(nn.Module):
+    """Layer-mask head: [GLM prior ‖ FPN crop] → num_classes logit maps.
+
+    Input: fpn_crop [N, p, p, 256], glm_crop [N, p, p, 183].
+    Output: (logits [N, 2p, 2p, num_classes], features [N, p, p, 256]).
+    """
+
+    num_classes: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fpn_crop: jnp.ndarray, glm_crop: jnp.ndarray):
+        x = jnp.concatenate(
+            [glm_crop.astype(self.dtype), fpn_crop.astype(self.dtype)], axis=-1
+        )
+        for i in range(1, 5):
+            x = nn.Conv(
+                256, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                name=f"conv{i}",
+            )(x)
+            x = FrozenBatchNorm(name=f"frozen_bn{i}")(x)
+            x = nn.relu(x)
+        feat = x
+        x = nn.ConvTranspose(
+            256, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype,
+            name="deconv",
+        )(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.num_classes, (1, 1), padding="VALID", dtype=self.dtype, name="conv5"
+        )(x)
+        return x.astype(jnp.float32), feat

@@ -1,0 +1,198 @@
+"""Crop-and-resize (RoIAlign) as gather-based XLA, TPU-native.
+
+Reproduces the TF-legacy semantics of the reference CUDA kernel
+(``/root/reference/roialign/roi_align/src/cuda/crop_and_resize_kernel.cu:11-82``):
+normalized (y1, x1, y2, x2) boxes, sample coordinates scaled by ``(dim - 1)``,
+bilinear interpolation, ``extrapolation_value`` outside the image.
+
+Unlike the reference's atomicAdd backward (non-deterministic on GPU), the
+backward here is JAX autodiff through gathers — a deterministic scatter-add.
+
+Two entry points:
+
+- :func:`crop_and_resize` — single feature map (the reference's
+  ``pyramid_roi_align_image`` / detection-target mask cropping).
+- :func:`pyramid_roi_align` — FPN multi-level pooling with the
+  FPN-paper level assignment (``/root/reference/modal/modals.py:20-110``).
+  Levels are flattened into one [sum(Hl*Wl), C] buffer and sampled with a
+  single 4-corner gather — no per-level dynamic grouping, fully static.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sample_coords(lo, hi, out_size: int, dim_size):
+    """TF crop_and_resize sample coordinates along one axis.
+
+    lo/hi: [N] normalized edge coords; dim_size: scalar or [N] pixel extent.
+    Returns [N, out_size] float coords in pixel space.
+    """
+    dim1 = dim_size - 1.0
+    if out_size > 1:
+        scale = (hi - lo) * dim1 / (out_size - 1)
+        steps = jnp.arange(out_size, dtype=jnp.float32)
+        return lo[:, None] * (jnp.ones_like(lo) * dim1)[:, None] + steps[None, :] * scale[:, None]
+    return (0.5 * (lo + hi) * dim1)[:, None]
+
+
+def crop_and_resize(
+    image: jnp.ndarray,
+    boxes: jnp.ndarray,
+    box_indices: jnp.ndarray,
+    crop_size: Tuple[int, int],
+    extrapolation_value: float = 0.0,
+) -> jnp.ndarray:
+    """Bilinear crop-and-resize from a single feature map.
+
+    Args:
+        image: [B, H, W, C] (NHWC — TPU-native layout).
+        boxes: [N, 4] normalized (y1, x1, y2, x2).
+        box_indices: [N] int, which batch image each box samples.
+        crop_size: (crop_h, crop_w), static.
+
+    Returns: [N, crop_h, crop_w, C].
+    """
+    b, h, w, c = image.shape
+    ch, cw = crop_size
+    boxes = boxes.astype(jnp.float32)
+    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+
+    in_y = _sample_coords(y1, y2, ch, float(h))  # [N, ch]
+    in_x = _sample_coords(x1, x2, cw, float(w))  # [N, cw]
+
+    valid_y = (in_y >= 0) & (in_y <= h - 1)
+    valid_x = (in_x >= 0) & (in_x <= w - 1)
+
+    top = jnp.floor(in_y)
+    bottom = jnp.ceil(in_y)
+    y_lerp = (in_y - top).astype(image.dtype)
+    left = jnp.floor(in_x)
+    right = jnp.ceil(in_x)
+    x_lerp = (in_x - left).astype(image.dtype)
+
+    top = jnp.clip(top, 0, h - 1).astype(jnp.int32)
+    bottom = jnp.clip(bottom, 0, h - 1).astype(jnp.int32)
+    left = jnp.clip(left, 0, w - 1).astype(jnp.int32)
+    right = jnp.clip(right, 0, w - 1).astype(jnp.int32)
+
+    bi = box_indices.astype(jnp.int32)[:, None, None]
+
+    def gather(yy, xx):
+        # [N, ch, cw, C]
+        return image[bi, yy[:, :, None], xx[:, None, :], :]
+
+    tl = gather(top, left)
+    tr = gather(top, right)
+    bl = gather(bottom, left)
+    br = gather(bottom, right)
+
+    top_v = tl + (tr - tl) * x_lerp[:, None, :, None]
+    bot_v = bl + (br - bl) * x_lerp[:, None, :, None]
+    out = top_v + (bot_v - top_v) * y_lerp[:, :, None, None]
+
+    valid = valid_y[:, :, None, None] & valid_x[:, None, :, None]
+    return jnp.where(valid, out, jnp.asarray(extrapolation_value, image.dtype))
+
+
+def roi_levels(
+    boxes: jnp.ndarray, image_area: float, min_level: int = 2, max_level: int = 5
+) -> jnp.ndarray:
+    """FPN-paper level assignment (modals.py:62-64).
+
+    boxes are normalized; level = round(4 + log2(sqrt(hw)/(224/sqrt(area)))),
+    clamped to [min_level, max_level]. round() is half-to-even, like torch.
+    """
+    h = boxes[:, 2] - boxes[:, 0]
+    w = boxes[:, 3] - boxes[:, 1]
+    size = jnp.sqrt(jnp.maximum(h * w, 1e-12))
+    lvl = 4.0 + jnp.log2(size / (224.0 / jnp.sqrt(image_area)))
+    return jnp.clip(jnp.round(lvl), min_level, max_level).astype(jnp.int32)
+
+
+def pyramid_roi_align(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    crop_size: Tuple[int, int],
+    image_shape: Tuple[int, int],
+    extrapolation_value: float = 0.0,
+) -> jnp.ndarray:
+    """Multi-level RoIAlign over FPN features P2..P5 (per-image).
+
+    Args:
+        features: sequence of [Hl, Wl, C] maps ordered P2, P3, P4, P5.
+        boxes: [N, 4] normalized (y1, x1, y2, x2).
+        crop_size: (h, w) of pooled output, static.
+        image_shape: (H, W) of the input image in pixels (for the level rule).
+
+    Returns: [N, crop_h, crop_w, C].
+
+    All levels are flattened into one [S, C] buffer; each box computes flat
+    gather indices for its assigned level — one gather program for all boxes,
+    no boolean grouping (replaces the dynamic per-level loop of
+    modals.py:67-110 with a static gather, the XLA-idiomatic formulation).
+    """
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    ch, cw = crop_size
+
+    heights = np.array([f.shape[0] for f in features], dtype=np.float32)
+    widths = np.array([f.shape[1] for f in features], dtype=np.float32)
+    sizes = [int(f.shape[0] * f.shape[1]) for f in features]
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+
+    lvl = roi_levels(boxes, float(image_shape[0] * image_shape[1]))
+    lvl_idx = lvl - 2  # 0-based into features
+    lvl_idx = jnp.clip(lvl_idx, 0, num_levels - 1)
+
+    h_l = jnp.asarray(heights)[lvl_idx]  # [N]
+    w_l = jnp.asarray(widths)[lvl_idx]
+    off = jnp.asarray(offsets)[lvl_idx]  # [N]
+
+    boxes = boxes.astype(jnp.float32)
+    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+
+    def coords(lo, hi, out_size, dim):
+        dim1 = dim - 1.0  # [N]
+        if out_size > 1:
+            scale = (hi - lo) * dim1 / (out_size - 1)
+            steps = jnp.arange(out_size, dtype=jnp.float32)
+            return lo[:, None] * dim1[:, None] + steps[None, :] * scale[:, None]
+        return (0.5 * (lo + hi) * dim1)[:, None]
+
+    in_y = coords(y1, y2, ch, h_l)  # [N, ch]
+    in_x = coords(x1, x2, cw, w_l)  # [N, cw]
+
+    valid_y = (in_y >= 0) & (in_y <= (h_l[:, None] - 1))
+    valid_x = (in_x >= 0) & (in_x <= (w_l[:, None] - 1))
+
+    top = jnp.clip(jnp.floor(in_y), 0, h_l[:, None] - 1)
+    bottom = jnp.clip(jnp.ceil(in_y), 0, h_l[:, None] - 1)
+    y_lerp = (in_y - jnp.floor(in_y)).astype(flat.dtype)
+    left = jnp.clip(jnp.floor(in_x), 0, w_l[:, None] - 1)
+    right = jnp.clip(jnp.ceil(in_x), 0, w_l[:, None] - 1)
+    x_lerp = (in_x - jnp.floor(in_x)).astype(flat.dtype)
+
+    wl_i = w_l.astype(jnp.int32)[:, None, None]
+    off_i = off.astype(jnp.int32)[:, None, None]
+
+    def flat_idx(yy, xx):
+        return off_i + yy.astype(jnp.int32)[:, :, None] * wl_i + xx.astype(jnp.int32)[:, None, :]
+
+    tl = flat[flat_idx(top, left)]
+    tr = flat[flat_idx(top, right)]
+    bl = flat[flat_idx(bottom, left)]
+    br = flat[flat_idx(bottom, right)]
+
+    top_v = tl + (tr - tl) * x_lerp[:, None, :, None]
+    bot_v = bl + (br - bl) * x_lerp[:, None, :, None]
+    out = top_v + (bot_v - top_v) * y_lerp[:, :, None, None]
+
+    valid = valid_y[:, :, None, None] & valid_x[:, None, :, None]
+    return jnp.where(valid, out, jnp.asarray(extrapolation_value, flat.dtype))
