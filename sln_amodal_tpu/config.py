@@ -79,6 +79,11 @@ class Config:
     detection_min_confidence: float = 0.0  # InferenceConfig sets 0
     detection_nms_threshold: float = 0.3
 
+    # Reference quirk (model.py:593): at inference the GLM prior is cropped
+    # with pixel coords where crop_and_resize expects normalized ones,
+    # zeroing the prior. True = reproduce the reference; False = fixed.
+    glm_prior_pixel_coords_at_inference: bool = True
+
     # --- training ---------------------------------------------------------
     batch_size: int = 1
     steps_per_epoch: int = 2500

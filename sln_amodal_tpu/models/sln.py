@@ -1,0 +1,281 @@
+"""SLNAmodal — the semantic layering network, as one jit-able flax module.
+
+The TPU-native re-design of the reference ``MaskRCNN.predict`` graph
+(``/root/reference/model.py:516-707``):
+
+- one traced program per mode (inference / training) — no Python branching
+  on data, no host round-trips mid-graph;
+- every intermediate is static-shaped: proposals [R], ROI table [T],
+  detections [D] with validity masks, replacing ``torch.nonzero`` filtering;
+- per-image stages (proposal, target sampling, detection refine) are pure
+  functions lifted over the batch with ``jax.vmap``; the heads run once over
+  the folded [B·N, ...] ROI axis so conv/matmul work stays large for the MXU.
+
+Reference quirks preserved (flags in Config where they matter):
+
+- the GLM prior for the *inference* mask head is cropped with **pixel**
+  coordinates where crop-and-resize expects normalized ones
+  (``model.py:593``), which zeroes the prior for essentially every box;
+  training uses normalized coords (``model.py:665``). Controlled by
+  ``glm_prior_pixel_coords_at_inference`` (default True = reference).
+- inference mask channel 1 is overwritten with sigmoid(sum of channels 1:)
+  (``model.py:618``).
+- the ``MAX_NUMB_RPNS`` re-cap after target sampling (``model.py:654-661``)
+  never binds with the shipped 100-ROI table and is omitted.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..detect.detection import refine_detections
+from ..detect.proposal import proposal_layer
+from ..detect.targets import RoiTargets, detection_target_layer
+from ..ops.anchors import config_anchors
+from ..ops.roi_align import crop_and_resize, pyramid_roi_align
+from .backbone import ResNetFPN
+from .common import resize_bilinear
+from .deeplab import DeepLabV2MSC
+from .heads import ClassifierHead, MaskHead, RPNHead
+
+
+class InferenceOutputs(NamedTuple):
+    detections: jnp.ndarray    # [B, D, 6] pixel coords, zero-padded
+    det_valid: jnp.ndarray     # [B, D]
+    masks: jnp.ndarray         # [B, D, 2m, 2m, C] (channel 1 = sigmoid sum)
+    global_label: jnp.ndarray  # [B, H, W] upsampled GLM argmax
+
+
+class TrainingOutputs(NamedTuple):
+    rpn_logits: jnp.ndarray        # [B, A, 2]
+    rpn_deltas: jnp.ndarray        # [B, A, 4]
+    targets: RoiTargets            # batched [B, T, ...]
+    class_logits: jnp.ndarray      # [B, T, C]
+    bbox_deltas: jnp.ndarray       # [B, T, C, 4]
+    mask_logits: jnp.ndarray       # [B, T, 2m, 2m, C]
+
+
+class SLNAmodal(nn.Module):
+    config: Config
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        self.fpn = ResNetFPN(cfg.backbone, cfg.fpn_channels, dtype=dtype)
+        self.rpn = RPNHead(
+            len(cfg.rpn_anchor_ratios), cfg.rpn_anchor_stride, dtype=dtype
+        )
+        self.classifier = ClassifierHead(cfg.num_classes, cfg.pool_size, dtype=dtype)
+        self.mask = MaskHead(cfg.num_classes, dtype=dtype)
+        self.glm = DeepLabV2MSC(cfg.glm_num_classes, dtype=dtype)
+        self._anchors = jnp.asarray(config_anchors(cfg))
+
+    # ------------------------------------------------------------- pieces --
+
+    def _rpn_all_levels(self, feats: Sequence[jnp.ndarray]):
+        outs = [self.rpn(p) for p in feats]
+        logits = jnp.concatenate([o[0] for o in outs], axis=1)
+        probs = jnp.concatenate([o[1] for o in outs], axis=1)
+        deltas = jnp.concatenate([o[2] for o in outs], axis=1)
+        return logits, probs, deltas
+
+    def _glm_prior(self, images: jnp.ndarray):
+        """Frozen DeepLab prior: probs+label channel at the GLM grid, and the
+        full-resolution argmax label (model.py:535-543)."""
+        cfg = self.config
+        h, w = images.shape[1:3]
+        glm_in = resize_bilinear(images, (cfg.glm_input_size, cfg.glm_input_size))
+        logits = self.glm(glm_in)                      # [B, g, g, 182] f32
+        logits = jax.lax.stop_gradient(logits)
+        probs = jax.nn.softmax(logits, axis=-1)
+        label = jnp.argmax(probs, axis=-1)             # [B, g, g]
+        prior = jnp.concatenate(
+            [probs, label[..., None].astype(jnp.float32) / 255.0], axis=-1
+        )                                              # [B, g, g, 183]
+        global_label = resize_bilinear(
+            label[..., None].astype(jnp.float32), (h, w)
+        )[..., 0]
+        return prior, global_label
+
+    def _proposals(self, rpn_probs, rpn_deltas, proposal_count):
+        cfg = self.config
+
+        def one(probs_i, deltas_i):
+            return proposal_layer(
+                probs_i,
+                deltas_i,
+                self._anchors,
+                proposal_count=proposal_count,
+                nms_threshold=cfg.rpn_nms_threshold,
+                image_size=cfg.image_size,
+                rpn_bbox_std_dev=cfg.rpn_bbox_std_dev,
+                pre_nms_limit=cfg.pre_nms_limit,
+            )
+
+        return jax.vmap(one)(rpn_probs, rpn_deltas)
+
+    def _classifier_on(self, feats_per_image, rois):
+        """feats_per_image: 4-tuple of [B, Hl, Wl, C]; rois [B, R, 4]."""
+        cfg = self.config
+        b, r = rois.shape[:2]
+
+        def crop_one(p2, p3, p4, p5, rois_i):
+            return pyramid_roi_align(
+                (p2, p3, p4, p5), rois_i, (cfg.pool_size, cfg.pool_size),
+                (cfg.image_size, cfg.image_size),
+            )
+
+        crops = jax.vmap(crop_one)(*feats_per_image, rois)   # [B,R,p,p,C]
+        crops = crops.reshape(b * r, *crops.shape[2:])
+        logits, probs, deltas = self.classifier(crops)
+        return (
+            logits.reshape(b, r, -1),
+            probs.reshape(b, r, -1),
+            deltas.reshape(b, r, cfg.num_classes, 4),
+        )
+
+    def _mask_on(self, feats_per_image, rois, glm_prior, glm_boxes):
+        """Mask head over [B, N] boxes. ``glm_boxes`` are the coords used for
+        the GLM prior crop (may deliberately be pixel coords — see module
+        docstring)."""
+        cfg = self.config
+        b, n = rois.shape[:2]
+        m = cfg.mask_pool_size
+
+        def crop_fpn(p2, p3, p4, p5, rois_i):
+            return pyramid_roi_align(
+                (p2, p3, p4, p5), rois_i, (m, m), (cfg.image_size, cfg.image_size)
+            )
+
+        fpn_crops = jax.vmap(crop_fpn)(*feats_per_image, rois)
+
+        def crop_glm(prior_i, boxes_i):
+            return crop_and_resize(prior_i[None], boxes_i, jnp.zeros((n,), jnp.int32), (m, m))
+
+        glm_crops = jax.vmap(crop_glm)(glm_prior, glm_boxes)
+
+        fpn_crops = fpn_crops.reshape(b * n, m, m, -1)
+        glm_crops = glm_crops.reshape(b * n, m, m, -1)
+        logits, _ = self.mask(fpn_crops, glm_crops)
+        return logits.reshape(b, n, *logits.shape[1:])
+
+    # -------------------------------------------------------------- modes --
+
+    def __call__(self, images: jnp.ndarray, windows: jnp.ndarray) -> InferenceOutputs:
+        return self.infer(images, windows)
+
+    def infer(self, images: jnp.ndarray, windows: jnp.ndarray) -> InferenceOutputs:
+        """Full inference graph. images [B,H,W,3] molded; windows [B,4] px."""
+        cfg = self.config
+        p2, p3, p4, p5, p6 = self.fpn(images)
+        _, rpn_probs, rpn_deltas = self._rpn_all_levels((p2, p3, p4, p5, p6))
+        glm_prior, global_label = self._glm_prior(images)
+
+        rois, roi_valid = self._proposals(
+            rpn_probs, rpn_deltas, cfg.post_nms_rois_inference
+        )
+
+        _, probs, deltas = self._classifier_on((p2, p3, p4, p5), rois)
+
+        def refine_one(rois_i, valid_i, probs_i, deltas_i, window_i):
+            return refine_detections(
+                rois_i, valid_i, probs_i, deltas_i,
+                (window_i[0], window_i[1], window_i[2], window_i[3]),
+                image_size=cfg.image_size,
+                bbox_std_dev=cfg.rpn_bbox_std_dev,
+                max_instances=cfg.detection_max_instances,
+                min_confidence=cfg.detection_min_confidence,
+                use_nms=cfg.use_nms,
+                nms_threshold=cfg.detection_nms_threshold,
+            )
+
+        detections, det_valid = jax.vmap(refine_one)(
+            rois, roi_valid, probs, deltas, windows.astype(jnp.float32)
+        )
+
+        det_boxes_px = jnp.clip(detections[..., :4], 0.0, float(cfg.image_size))
+        det_boxes_norm = det_boxes_px / float(cfg.image_size)
+
+        if cfg.glm_prior_pixel_coords_at_inference:
+            glm_boxes = det_boxes_px       # reference bug: pixel coords
+        else:
+            glm_boxes = det_boxes_norm
+
+        mask_logits = self._mask_on(
+            (p2, p3, p4, p5), det_boxes_norm, glm_prior, glm_boxes
+        )
+
+        # channel 1 := sigmoid(sum of layer channels) (model.py:618)
+        layer_sum = jax.nn.sigmoid(jnp.sum(mask_logits[..., 1:], axis=-1))
+        masks = mask_logits.at[..., 1].set(layer_sum)
+
+        return InferenceOutputs(detections, det_valid, masks, global_label)
+
+    def train_step_outputs(
+        self,
+        rng: jax.Array,
+        images: jnp.ndarray,
+        gt_class_ids: jnp.ndarray,
+        gt_boxes: jnp.ndarray,
+        gt_masks: jnp.ndarray,
+    ) -> TrainingOutputs:
+        """Training forward graph.
+
+        gt_class_ids [B,G]; gt_boxes [B,G,4] normalized; gt_masks [B,G,L,H,W].
+        """
+        cfg = self.config
+        p2, p3, p4, p5, p6 = self.fpn(images)
+        rpn_logits, rpn_probs, rpn_deltas = self._rpn_all_levels((p2, p3, p4, p5, p6))
+        glm_prior, _ = self._glm_prior(images)
+
+        rois, roi_valid = self._proposals(
+            rpn_probs, rpn_deltas, cfg.post_nms_rois_training
+        )
+
+        b = images.shape[0]
+        keys = jax.random.split(rng, b)
+
+        def sample_one(key, rois_i, valid_i, ids_i, boxes_i, masks_i):
+            return detection_target_layer(
+                key, rois_i, valid_i, ids_i, boxes_i, masks_i,
+                train_rois=cfg.train_rois_per_image,
+                roi_positive_ratio=cfg.roi_positive_ratio,
+                mask_shape=cfg.mask_shape,
+                bbox_std_dev=cfg.bbox_std_dev,
+            )
+
+        targets = jax.vmap(sample_one)(
+            keys, rois, roi_valid, gt_class_ids, gt_boxes, gt_masks
+        )
+
+        sampled = jax.lax.stop_gradient(targets.rois)
+        class_logits, _, bbox_deltas = self._classifier_on((p2, p3, p4, p5), sampled)
+        mask_logits = self._mask_on((p2, p3, p4, p5), sampled, glm_prior, sampled)
+
+        return TrainingOutputs(
+            rpn_logits=rpn_logits,
+            rpn_deltas=rpn_deltas,
+            targets=targets,
+            class_logits=class_logits,
+            bbox_deltas=bbox_deltas,
+            mask_logits=mask_logits,
+        )
+
+
+def create_model(config: Config) -> SLNAmodal:
+    return SLNAmodal(config)
+
+
+def init_params(config: Config, rng: jax.Array):
+    """Initialize parameters by tracing the inference graph on one image."""
+    size = config.image_size
+    model = SLNAmodal(config)
+    images = jnp.zeros((1, size, size, 3), jnp.float32)
+    windows = jnp.asarray([[0, 0, size, size]], jnp.float32)
+    return model.init(rng, images, windows)

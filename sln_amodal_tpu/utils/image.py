@@ -1,0 +1,152 @@
+"""Host-side image molding / unmolding (numpy + PIL).
+
+Replicates the reference's preprocessing and postprocessing numerics:
+
+- images are squash-resized to ``image_size`` squared with PIL bilinear —
+  the reference's ``scipy.misc.imresize`` is PIL under the hood
+  (``/root/reference/utils.py:351-356``);
+- ``mold_image`` subtracts the RGB mean pixel (Functions.py:658-663);
+- ``unmold_mask`` reproduces the ``scipy.misc.imresize`` float path
+  exactly: **bytescale by data min/max to uint8**, PIL bilinear resize,
+  /255, threshold 0.5 (``/root/reference/utils.py:447-465``) — note the
+  min/max rescale makes the 0.5 threshold *relative* to the mask's range,
+  a quirk that affects mask parity;
+- ``unmold_detections`` trims the zero-padded detections, maps boxes back
+  to the original image frame and pastes full-frame masks
+  (``/root/reference/model.py:747-806``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def pil_resize_uint8(arr: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize of a uint8 array (H, W[, C]) via PIL."""
+    img = Image.fromarray(arr)
+    img = img.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
+    return np.asarray(img)
+
+
+def bytescale(data: np.ndarray) -> np.ndarray:
+    """scipy.misc.bytescale semantics: min/max → [0, 255] uint8 with +0.5
+    rounding."""
+    cmin = float(data.min()) if data.size else 0.0
+    cmax = float(data.max()) if data.size else 1.0
+    cscale = cmax - cmin
+    if cscale == 0:
+        cscale = 1.0
+    scale = 255.0 / cscale
+    bytedata = (data - cmin) * scale
+    return (np.clip(bytedata, 0, 255) + 0.5).astype(np.uint8)
+
+
+def imresize_float(arr: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
+    """scipy.misc.imresize on a float array: bytescale → PIL bilinear →
+    uint8 result (caller divides by 255)."""
+    return pil_resize_uint8(bytescale(arr), size_hw)
+
+
+def resize_image(image: np.ndarray, image_size: int):
+    """Squash-resize to (image_size, image_size); returns
+    (resized, window, scale, padding) with the reference's conventions."""
+    h, w = image.shape[:2]
+    resized = pil_resize_uint8(image.astype(np.uint8), (image_size, image_size))
+    window = (0, 0, image_size, image_size)
+    scale = (image_size / h, image_size / w)
+    padding = [(0, 0), (0, 0), (0, 0)]
+    return resized, window, scale, padding
+
+
+def resize_layer_masks(masks: np.ndarray, scale) -> np.ndarray:
+    """Nearest-neighbour zoom of [H, W, L, N] layer masks (utils.py:358-362)."""
+    import scipy.ndimage
+
+    return scipy.ndimage.zoom(masks, zoom=[scale[0], scale[1], 1, 1], order=0)
+
+
+def mold_image(image: np.ndarray, mean_pixel) -> np.ndarray:
+    return image.astype(np.float32) - np.asarray(mean_pixel, np.float32)
+
+
+def unmold_image(molded: np.ndarray, mean_pixel) -> np.ndarray:
+    return (molded + np.asarray(mean_pixel, np.float32)).astype(np.uint8)
+
+
+def compose_image_meta(image_id, image_shape, window, active_class_ids):
+    """[id, shape(3), window(4), active_class_ids(...)] flat meta array."""
+    return np.array(
+        [image_id] + list(image_shape) + list(window) + list(active_class_ids)
+    )
+
+
+def parse_image_meta(meta: np.ndarray):
+    return meta[:, 0], meta[:, 1:4], meta[:, 4:8], meta[:, 8:]
+
+
+def mold_inputs(images: List[np.ndarray], config):
+    """List of raw images → (molded [N,S,S,3] f32, metas, windows)."""
+    molded, metas, windows = [], [], []
+    for image in images:
+        resized, window, _, _ = resize_image(image, config.image_size)
+        molded.append(mold_image(resized, config.mean_pixel))
+        metas.append(
+            compose_image_meta(
+                0, image.shape, window, np.zeros([config.num_classes], np.int32)
+            )
+        )
+        windows.append(window)
+    return np.stack(molded), np.stack(metas), np.stack(windows)
+
+
+def unmold_mask(mask: np.ndarray, bbox, image_shape) -> np.ndarray:
+    """Paste one low-res mask into the full frame (utils.py:447-465)."""
+    y1, x1, y2, x2 = [int(v) for v in bbox]
+    mask = np.squeeze(mask)
+    resized = imresize_float(mask, (y2 - y1, x2 - x1)).astype(np.float32) / 255.0
+    binary = np.where(resized >= 0.5, 1, 0).astype(np.uint8)
+    full = np.zeros(image_shape[:2], dtype=np.uint8)
+    full[y1:y2, x1:x2] = binary
+    return full
+
+
+def unmold_detections(detections: np.ndarray, mrcnn_mask: np.ndarray, image_shape, window):
+    """Network outputs → (boxes px, class_ids, scores, full masks [H,W,N]).
+
+    detections: [D, 6] zero-padded; mrcnn_mask: [D, mh, mw, C] (NHWC).
+    """
+    zero_ix = np.where(detections[:, 4] == 0)[0]
+    n = zero_ix[0] if zero_ix.shape[0] > 0 else detections.shape[0]
+
+    boxes = detections[:n, :4]
+    class_ids = detections[:n, 4].astype(np.int32)
+    class_ids[class_ids > 0] = 1  # single foreground class (model.py:770)
+    scores = detections[:n, 5]
+    masks = mrcnn_mask[np.arange(n), :, :, class_ids]
+
+    h_scale = image_shape[0] / (window[2] - window[0])
+    w_scale = image_shape[1] / (window[3] - window[1])
+    scales = np.array([h_scale, w_scale, h_scale, w_scale])
+    shifts = np.array([window[0], window[1], window[0], window[1]])
+    boxes = np.multiply(boxes - shifts, scales).astype(np.int32)
+
+    exclude = np.where((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) <= 0)[0]
+    if exclude.shape[0] > 0:
+        boxes = np.delete(boxes, exclude, axis=0)
+        class_ids = np.delete(class_ids, exclude, axis=0)
+        scores = np.delete(scores, exclude, axis=0)
+        masks = np.delete(masks, exclude, axis=0)
+        n = class_ids.shape[0]
+
+    full_masks = [
+        unmold_mask(masks[i], boxes[i], image_shape) for i in range(n)
+    ]
+    full_masks = (
+        np.stack(full_masks, axis=-1)
+        if full_masks
+        else np.empty(image_shape[:2] + (0,))
+    )
+    return boxes, class_ids, scores, full_masks
