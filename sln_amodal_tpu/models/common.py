@@ -76,7 +76,9 @@ def max_pool_torch(
     need_w = (ow - 1) * stride + kernel
     pad_h = (padding, max(need_h - h - padding, 0))
     pad_w = (padding, max(need_w - w - padding, 0))
-    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # init_value must be a static scalar: a traced array prevents XLA from
+    # recognizing the reduce-max pattern (breaks reverse-mode autodiff).
+    neg = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x,
         neg,
@@ -92,7 +94,9 @@ def max_pool_same(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
     _, h, w, _ = x.shape
     pad_h = same_pad_amounts(h, kernel, stride)
     pad_w = same_pad_amounts(w, kernel, stride)
-    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # init_value must be a static scalar: a traced array prevents XLA from
+    # recognizing the reduce-max pattern (breaks reverse-mode autodiff).
+    neg = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x,
         neg,

@@ -105,6 +105,12 @@ class SLNAmodal(nn.Module):
 
     def _proposals(self, rpn_probs, rpn_deltas, proposal_count):
         cfg = self.config
+        # Proposals are training targets, not a gradient path: the reference
+        # detaches ROI boxes before pooling (modals.py:81) and trains the RPN
+        # only through its own losses. Stopping gradients here also keeps the
+        # NMS selection loop out of reverse-mode autodiff.
+        rpn_probs = jax.lax.stop_gradient(rpn_probs)
+        rpn_deltas = jax.lax.stop_gradient(rpn_deltas)
 
         def one(probs_i, deltas_i):
             return proposal_layer(

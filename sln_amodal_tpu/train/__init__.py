@@ -1,1 +1,1 @@
-from . import losses  # noqa: F401
+from . import checkpoint, losses, optim, trainer  # noqa: F401

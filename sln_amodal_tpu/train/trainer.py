@@ -1,0 +1,166 @@
+"""Jitted train step + training loop, data-parallel over a device mesh.
+
+The TPU-native replacement for the reference's Python step loop
+(``/root/reference/model.py:304-462``): one compiled program per stage that
+does forward → 6 losses → grads → clip → SGD, batched over images, sharded
+batch-first over the mesh's ``data`` axis. Gradients are averaged across
+devices by XLA (the sharded program inserts the psum over ICI) — this is the
+first-class replacement for the reference's dormant DataParallel machinery
+(SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..models.sln import SLNAmodal
+from ..parallel.mesh import batch_sharding, make_mesh, replicate
+from ..utils.logging import StepTimer, log
+from . import losses as losses_lib
+from .optim import StageSchedule, make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def batched_losses(config: Config, out, batch) -> Dict[str, jnp.ndarray]:
+    """Mean of the per-image 6-term loss over the batch dimension."""
+
+    def per_image(rpn_logits, rpn_deltas, targets_ci, targets_valid,
+                  targets_deltas, targets_masks, class_logits, bbox_deltas,
+                  mask_logits, rpn_match, rpn_tgt):
+        return losses_lib.total_loss(
+            rpn_match=rpn_match,
+            rpn_target_deltas=rpn_tgt,
+            rpn_logits=rpn_logits,
+            rpn_pred_deltas=rpn_deltas,
+            target_class_ids=targets_ci,
+            roi_valid=targets_valid,
+            mrcnn_class_logits=class_logits,
+            target_deltas=targets_deltas,
+            mrcnn_pred_deltas=bbox_deltas,
+            target_masks=targets_masks,
+            mask_logits=mask_logits,
+        )
+
+    per = jax.vmap(per_image)(
+        out.rpn_logits,
+        out.rpn_deltas,
+        out.targets.class_ids,
+        out.targets.valid,
+        out.targets.deltas,
+        out.targets.masks,
+        out.class_logits,
+        out.bbox_deltas,
+        out.mask_logits,
+        batch["rpn_match"],
+        batch["rpn_deltas"],
+    )
+    return {k: jnp.mean(v) for k, v in per.items()}
+
+
+def make_train_step(model: SLNAmodal, config: Config, tx: optax.GradientTransformation):
+    def loss_fn(params, rng, batch):
+        out = model.apply(
+            params,
+            rng,
+            batch["images"],
+            batch["gt_class_ids"],
+            batch["gt_boxes"].astype(jnp.float32),
+            batch["gt_masks"].astype(jnp.float32),
+            method=SLNAmodal.train_step_outputs,
+        )
+        losses = batched_losses(config, out, batch)
+        return losses["total"], losses
+
+    def train_step(state: TrainState, rng, batch):
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, rng, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), losses
+
+    return train_step
+
+
+class Trainer:
+    """Orchestrates staged training (the reference's ``train_model``)."""
+
+    def __init__(self, config: Config, variables: Any,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 checkpoint_dir: Optional[str] = None):
+        self.config = config
+        self.model = SLNAmodal(config)
+        self.variables = variables
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.checkpoint_dir = checkpoint_dir
+        self.epoch = 0
+
+    def train_stage(self, loader: Iterable, stage: str, learning_rate: float,
+                    epochs: int, steps_per_epoch: Optional[int] = None,
+                    seed: int = 0, on_epoch_end=None) -> Dict[str, float]:
+        cfg = self.config
+        steps = steps_per_epoch or cfg.steps_per_epoch
+        tx = make_optimizer(
+            self.variables, stage, learning_rate,
+            momentum=cfg.learning_momentum, weight_decay=cfg.weight_decay,
+            clip_norm=cfg.gradient_clip_norm,
+        )
+        opt_state = tx.init(self.variables)
+        state = TrainState(self.variables, opt_state, jnp.zeros((), jnp.int32))
+
+        step_fn = make_train_step(self.model, cfg, tx)
+        data_sh = batch_sharding(self.mesh)
+        repl = replicate(self.mesh)
+        jit_step = jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, data_sh),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+        rng = jax.random.PRNGKey(seed)
+        timer = StepTimer()
+        last: Dict[str, float] = {}
+        it = iter(loader)
+        for epoch in range(epochs):
+            log(f"Stage '{stage}' epoch {epoch + 1}/{epochs} lr={learning_rate}")
+            for step in range(steps):
+                batch = next(it)
+                rng, sub = jax.random.split(rng)
+                state, losses = jit_step(state, sub, batch)
+                if step % 50 == 0 or step == steps - 1:
+                    last = {k: float(v) for k, v in losses.items()}
+                    dt = timer.tick()
+                    log(
+                        f"  step {step + 1}/{steps} "
+                        + " ".join(f"{k}={v:.4f}" for k, v in sorted(last.items()))
+                        + f" ({dt:.2f}s)"
+                    )
+            self.epoch += 1
+            self.variables = state.params
+            if on_epoch_end is not None:
+                on_epoch_end(self.epoch, self.variables)
+        self.variables = state.params
+        return last
+
+    def train(self, loader: Iterable, steps_per_epoch: Optional[int] = None,
+              sticky_freeze: bool = False, on_epoch_end=None) -> None:
+        """The reference 3-stage schedule."""
+        sched = StageSchedule(self.config.learning_rate, sticky_freeze)
+        for stage, lr, epochs in sched.stages:
+            self.train_stage(
+                loader, stage, lr, epochs, steps_per_epoch,
+                on_epoch_end=on_epoch_end,
+            )
