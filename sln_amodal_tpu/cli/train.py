@@ -1,0 +1,167 @@
+"""Train / evaluate CLI — the reference ``amodal_train.py`` surface
+(``/root/reference/amodal_train.py:507-675``) on the TPU-native stack.
+
+Usage:
+    python -m sln_amodal_tpu.cli.train train --dataset /path/coco_amodal \
+        --model coco --data_type COCOA
+    python -m sln_amodal_tpu.cli.train evaluate --dataset /path/coco_amodal \
+        --model ./checkpoints/COCOA.pth --data_type COCOA --limit 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..config import inference_config, training_config
+from ..data.dataset import AmodalDataset, DetectionResults
+from ..data.pipeline import TrainLoader
+from ..eval_amodal.amodal_eval import AmodalEval, evaluate_sweep
+from ..eval_amodal.coco_results import build_coco_results
+from ..infer import Detector
+from ..models.sln import init_params
+from ..train import checkpoint as ckpt
+from ..train.trainer import Trainer
+from ..utils.logging import log, print_network, progress_bar
+
+DEFAULT_COCO_WEIGHTS = "./checkpoints/mask_rcnn_coco.pth"
+DEFAULT_GLM_WEIGHTS = "./checkpoints/deeplabv2.pth"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train SLN-Amodal-TPU.")
+    p.add_argument("command", metavar="<command>", help="'train' or 'evaluate'")
+    p.add_argument("--dataset", required=True, help="COCO-amodal dataset root")
+    p.add_argument("--year", default="2014")
+    p.add_argument("--model", required=False,
+                   help="checkpoint path, 'coco', 'last', or 'random'")
+    p.add_argument("--logs", default="./logs")
+    p.add_argument("--limit", type=int, default=-1,
+                   help="images for evaluation (-1 = all)")
+    p.add_argument("--data_type", default="COCOA", choices=["COCOA", "D2SA"])
+    p.add_argument("--glm_weights", default=DEFAULT_GLM_WEIGHTS)
+    p.add_argument("--image_size", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--steps_per_epoch", type=int, default=2500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sticky_freeze", action="store_true",
+                   help="reproduce the reference's sticky layer freezing")
+    return p
+
+
+def resolve_weights(args, config, template):
+    """Reference weight selection: path | 'coco' | 'last' | fresh init."""
+    model_path = args.model or ""
+    if model_path.lower() == "coco":
+        model_path = DEFAULT_COCO_WEIGHTS
+    elif model_path.lower() == "last":
+        model_path, _ = ckpt.find_last(args.logs, config.name)
+        model_path = model_path or ""
+    if model_path and model_path.lower() not in ("random",) and os.path.exists(model_path):
+        log(f"Loading weights {model_path}")
+        glm = args.glm_weights if os.path.exists(args.glm_weights) else None
+        return ckpt.load_weights(model_path, template, glm_path=glm)
+    if model_path and model_path.lower() != "random":
+        log(f"Weight file not found: {model_path} — using random init")
+    return template
+
+
+def run_evaluate(args) -> None:
+    config = inference_config(
+        image_size=args.image_size,
+        name=f"{args.data_type.lower()}",
+    )
+    dataset = AmodalDataset()
+    data_type = "COCO" if args.data_type == "COCOA" else "D2S"
+    coco = dataset.load_amodal(args.dataset, "val", data_type=data_type, year=args.year)
+    dataset.prepare()
+
+    template = init_params(config, jax.random.PRNGKey(args.seed))
+    variables = resolve_weights(args, config, template)
+    detector = Detector(config, variables)
+
+    image_ids = dataset.image_ids
+    if args.limit and args.limit > 0:
+        image_ids = image_ids[: args.limit]
+
+    results = []
+    t0 = time.time()
+    for i, image_id in enumerate(image_ids):
+        image = dataset.load_image(int(image_id))
+        r = detector.detect([image])[0]
+        results.extend(
+            build_coco_results(
+                dataset.image_info[int(image_id)]["id"],
+                r["rois"], r["class_ids"], r["scores"], r["masks"],
+            )
+        )
+        progress_bar(i + 1, len(image_ids), prefix="eval")
+    elapsed = time.time() - t0
+    log(f"Prediction time: {elapsed:.1f}s — {len(image_ids) / max(elapsed, 1e-9):.2f} images/s")
+
+    if not results:
+        log("no detections produced")
+        return
+    dt = DetectionResults(results)
+    order_key = "order" if args.data_type == "COCOA" else "amodal_region.order"
+    ev = AmodalEval(coco, dt, limit=args.limit, order_key=order_key)
+    evaluate_sweep(ev)
+
+
+def run_train(args) -> None:
+    config = training_config(
+        image_size=args.image_size,
+        batch_size=args.batch_size,
+        steps_per_epoch=args.steps_per_epoch,
+        name=f"{args.data_type.lower()}",
+    )
+    config.display()
+
+    data_type = "COCO" if args.data_type == "COCOA" else "D2S"
+    train_ds = AmodalDataset()
+    train_ds.load_amodal(args.dataset, "train", data_type=data_type, year=args.year)
+    train_ds.prepare()
+
+    template = init_params(config, jax.random.PRNGKey(args.seed))
+    variables = resolve_weights(args, config, template)
+    print_network(variables, "sln_amodal")
+
+    loader = TrainLoader(train_ds, config, seed=args.seed)
+    trainer = Trainer(config, variables)
+
+    def save_epoch(epoch, params):
+        path = ckpt.save(params, args.logs, config.name, epoch)
+        log(f"checkpoint: {path}")
+
+    trainer.train(
+        loader,
+        steps_per_epoch=args.steps_per_epoch,
+        sticky_freeze=args.sticky_freeze,
+        on_epoch_end=save_epoch,
+    )
+
+
+def main(argv=None) -> None:
+    # SLN_PLATFORM=cpu forces the CPU backend (the axon TPU plugin overrides
+    # JAX_PLATFORMS at import, so an explicit config update is required).
+    platform = os.environ.get("SLN_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    args = build_parser().parse_args(argv)
+    log(f"Command: {args.command}")
+    log(f"Dataset: {args.dataset}")
+    log(f"Model:   {args.model}")
+    if args.command == "train":
+        run_train(args)
+    elif args.command == "evaluate":
+        run_evaluate(args)
+    else:
+        print(f"'{args.command}' is not recognized. Use 'train' or 'evaluate'")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,14 +11,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+LOG_DELTA_CLIP = 10.0  # guards exp overflow → inf-inf NaN boxes; real
+                       # checkpoints produce |log-delta| << this.
+
+
 def apply_box_deltas(boxes: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
     """Apply (dy, dx, log dh, log dw) refinements to boxes. [N,4] x [N,4]."""
     height = boxes[:, 2] - boxes[:, 0]
     width = boxes[:, 3] - boxes[:, 1]
     center_y = boxes[:, 0] + 0.5 * height + deltas[:, 0] * height
     center_x = boxes[:, 1] + 0.5 * width + deltas[:, 1] * width
-    height = height * jnp.exp(deltas[:, 2])
-    width = width * jnp.exp(deltas[:, 3])
+    height = height * jnp.exp(jnp.clip(deltas[:, 2], -LOG_DELTA_CLIP, LOG_DELTA_CLIP))
+    width = width * jnp.exp(jnp.clip(deltas[:, 3], -LOG_DELTA_CLIP, LOG_DELTA_CLIP))
     y1 = center_y - 0.5 * height
     x1 = center_x - 0.5 * width
     return jnp.stack([y1, x1, y1 + height, x1 + width], axis=1)
