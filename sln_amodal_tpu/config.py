@@ -79,6 +79,11 @@ class Config:
     detection_min_confidence: float = 0.0  # InferenceConfig sets 0
     detection_nms_threshold: float = 0.3
 
+    # Extension seams (dormant in the reference — model.py:145-146 inits
+    # layer_decoder/amodal_refine to None and never assigns them; the seams
+    # are preserved here as optional modules).
+    use_refine_head: bool = False
+
     # Reference quirk (model.py:593): at inference the GLM prior is cropped
     # with pixel coords where crop_and_resize expects normalized ones,
     # zeroing the prior. True = reproduce the reference; False = fixed.

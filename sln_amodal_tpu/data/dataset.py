@@ -182,6 +182,17 @@ class AmodalDataset:
         layer = semdist.load_layer_file(info["path"][:-4] + ".npz")
         return semdist.decode_layer_masks(layer, num_layers)
 
+    def load_layers_legacy(self, image_id: int):
+        """Legacy pickle ``<image>.layer`` sem-dist loader → per-instance
+        (amodal, class_ids, vis, invis) (the reference ``load_layer``,
+        amodal_train.py:196-234; superseded by the ``.npz`` format)."""
+        import pickle
+
+        info = self.image_info[image_id]
+        with open(info["path"][:-4] + ".layer", "rb") as f:
+            layer = pickle.load(f)
+        return semdist.decode_instance_masks(np.asarray(layer, np.uint64))
+
     def load_mask(self, image_id: int):
         """Amodal/visible/invisible instance masks from region annotations.
 

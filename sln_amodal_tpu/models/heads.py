@@ -93,6 +93,31 @@ class ClassifierHead(nn.Module):
         return logits, probs, deltas
 
 
+class RefineHead(nn.Module):
+    """Optional mask-refinement head (the reference's dormant ``Refine``
+    module, modals.py:501-535, and the ``amodal_refine`` seam it feeds,
+    model.py:698-703). Disabled by default (``Config.use_refine_head``);
+    same conv stack as the mask head over a small fused-feature input."""
+
+    num_classes: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        for i in range(1, 5):
+            x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                        name=f"conv{i}")(x)
+            x = FrozenBatchNorm(name=f"frozen_bn{i}")(x)
+            x = nn.relu(x)
+        x = nn.ConvTranspose(256, (2, 2), strides=(2, 2), padding="VALID",
+                             dtype=self.dtype, name="deconv")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.num_classes, (1, 1), padding="VALID", dtype=self.dtype,
+                    name="conv5")(x)
+        return x.astype(jnp.float32)
+
+
 class MaskHead(nn.Module):
     """Layer-mask head: [GLM prior ‖ FPN crop] → num_classes logit maps.
 

@@ -42,7 +42,7 @@ from ..ops.roi_align import crop_and_resize, pyramid_roi_align
 from .backbone import ResNetFPN
 from .common import resize_bilinear
 from .deeplab import DeepLabV2MSC
-from .heads import ClassifierHead, MaskHead, RPNHead
+from .heads import ClassifierHead, MaskHead, RefineHead, RPNHead
 
 
 class InferenceOutputs(NamedTuple):
@@ -59,6 +59,7 @@ class TrainingOutputs(NamedTuple):
     class_logits: jnp.ndarray      # [B, T, C]
     bbox_deltas: jnp.ndarray       # [B, T, C, 4]
     mask_logits: jnp.ndarray       # [B, T, 2m, 2m, C]
+    refined: Any = None            # [B, T, 2m, 2m, C] when use_refine_head
 
 
 class SLNAmodal(nn.Module):
@@ -74,6 +75,8 @@ class SLNAmodal(nn.Module):
         self.classifier = ClassifierHead(cfg.num_classes, cfg.pool_size, dtype=dtype)
         self.mask = MaskHead(cfg.num_classes, dtype=dtype)
         self.glm = DeepLabV2MSC(cfg.glm_num_classes, dtype=dtype)
+        if cfg.use_refine_head:
+            self.amodal_refine = RefineHead(cfg.num_classes, dtype=dtype)
         self._anchors = jnp.asarray(config_anchors(cfg))
 
     # ------------------------------------------------------------- pieces --
@@ -264,7 +267,36 @@ class SLNAmodal(nn.Module):
         class_logits, _, bbox_deltas = self._classifier_on((p2, p3, p4, p5), sampled)
         mask_logits = self._mask_on((p2, p3, p4, p5), sampled, glm_prior, sampled)
 
+        refined = None
+        if cfg.use_refine_head:
+            # Dead-path seam in the reference (model.py:698-703): image crop
+            # /140 ‖ mask logits ×2 ‖ GLM-label crop → refine head.
+            bsz, t = sampled.shape[:2]
+            mh = cfg.mask_shape[0]
+
+            def crop_img(img_i, rois_i):
+                return crop_and_resize(
+                    img_i[None] / 140.0, rois_i, jnp.zeros((t,), jnp.int32), (mh, mh)
+                )
+
+            img_crop = jax.vmap(crop_img)(images, sampled)
+
+            def crop_lab(prior_i, rois_i):
+                return crop_and_resize(
+                    prior_i[None, ..., -1:], rois_i, jnp.zeros((t,), jnp.int32),
+                    (mh, mh),
+                )
+
+            lab_crop = jax.vmap(crop_lab)(glm_prior, sampled)
+            mask_small = jax.lax.stop_gradient(mask_logits)  # 2m == mask_shape
+            fused = jnp.concatenate(
+                [img_crop, mask_small, mask_small, lab_crop], axis=-1
+            )
+            refined = self.amodal_refine(fused.reshape(bsz * t, *fused.shape[2:]))
+            refined = refined.reshape(bsz, t, *refined.shape[1:])
+
         return TrainingOutputs(
+            refined=refined,
             rpn_logits=rpn_logits,
             rpn_deltas=rpn_deltas,
             targets=targets,

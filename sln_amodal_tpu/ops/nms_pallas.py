@@ -1,0 +1,154 @@
+"""Greedy NMS as a Pallas TPU kernel.
+
+Exact same semantics as :func:`sln_amodal_tpu.ops.nms.nms_sorted` (greedy over
+score-sorted boxes, legacy +1 IoU, suppress at ``iou > thr``) but restructured
+for the TPU vector unit instead of a 1000-step scalar loop:
+
+- boxes are processed in tiles of 128 (the VPU lane width);
+- a tile is first suppressed by the *surviving* boxes of all previous tiles
+  (one [128, 128] IoU matrix per pair — pure VPU work);
+- within a tile, survivors are resolved by iterating the suppression
+  fixpoint ``x[j] = init[j] & ~any_{i<j}(iou[i,j] > t & x[i])``. The
+  dependency graph is a DAG (strict index order), so the fixpoint is unique
+  and equals the sequential greedy result; iteration count adapts to the
+  actual suppression-chain depth (typically 2-4) instead of always paying
+  1000 sequential steps.
+
+The kernel emits the aliveness mask; index packing happens in XLA outside.
+Everything lives in VMEM (6k boxes ≈ 96 KB).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+
+def _iou_tile(a: jnp.ndarray, b: jnp.ndarray, plus_one: bool) -> jnp.ndarray:
+    """IoU matrix [Ta, Tb] between two box tiles ([T, 4] each)."""
+    add = 1.0 if plus_one else 0.0
+    y1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    x1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    y2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    x2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(y2 - y1 + add, 0.0) * jnp.maximum(x2 - x1 + add, 0.0)
+    area_a = (a[:, 2] - a[:, 0] + add) * (a[:, 3] - a[:, 1] + add)
+    area_b = (b[:, 2] - b[:, 0] + add) * (b[:, 3] - b[:, 1] + add)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.where(union != 0, union, 1.0)
+
+
+def _nms_kernel(boxes_ref, valid_ref, alive_ref, *, iou_threshold: float,
+                plus_one: bool, suppress_at_equal: bool):
+    n = boxes_ref.shape[0]
+    num_tiles = n // TILE
+    thr = jnp.float32(iou_threshold)
+
+    def hit(iou):
+        return iou >= thr if suppress_at_equal else iou > thr
+
+    # row index within a tile, [T, 1] and [1, T] iotas for the triangular mask
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+    strict_upper = row < col
+
+    alive_ref[:, :] = valid_ref[:, :]
+
+    def tile_body(k, _):
+        tb = boxes_ref[pl.ds(k * TILE, TILE), :]
+        init = alive_ref[k, :]  # [T] f32 0/1
+
+        # --- cross-tile suppression by earlier survivors ---
+        def cross(j, sup):
+            pb = boxes_ref[pl.ds(j * TILE, TILE), :]
+            pa = alive_ref[j, :]
+            iou = _iou_tile(pb, tb, plus_one)            # [T_prev, T_cur]
+            s = jnp.max(
+                jnp.where(hit(iou), pa[:, None], 0.0), axis=0
+            )
+            return jnp.maximum(sup, s)
+
+        sup = jax.lax.fori_loop(0, k, cross, jnp.zeros((TILE,), jnp.float32))
+        init = init * (1.0 - sup)
+
+        # --- within-tile fixpoint (unique on the strict-order DAG) ---
+        iou_tt = _iou_tile(tb, tb, plus_one)
+        mask = jnp.where(hit(iou_tt) & strict_upper, 1.0, 0.0)  # [T, T]
+
+        def fix_cond(state):
+            x, changed = state
+            return changed
+
+        def fix_body(state):
+            x, _ = state
+            suppressed = jnp.max(mask * x[:, None], axis=0)     # [T]
+            new_x = init * (1.0 - jnp.minimum(suppressed, 1.0))
+            return new_x, jnp.any(new_x != x)
+
+        x, _ = jax.lax.while_loop(fix_cond, fix_body, (init, jnp.bool_(True)))
+        alive_ref[k, :] = x
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_outputs", "iou_threshold", "plus_one",
+                     "suppress_at_equal", "pad_value", "interpret"),
+)
+def nms_sorted_pallas(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    max_outputs: int,
+    iou_threshold: float,
+    plus_one: bool = True,
+    suppress_at_equal: bool = False,
+    pad_value: int = -1,
+    interpret: bool = False,
+):
+    """Drop-in replacement for :func:`ops.nms.nms_sorted` (same contract)."""
+    n = boxes.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    boxes_p = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(boxes.astype(jnp.float32))
+    valid_p = (
+        jnp.zeros((n_pad // TILE, TILE), jnp.float32)
+        .reshape(-1)
+        .at[:n]
+        .set(valid.astype(jnp.float32))
+        .reshape(n_pad // TILE, TILE)
+    )
+
+    alive = pl.pallas_call(
+        functools.partial(
+            _nms_kernel,
+            iou_threshold=float(iou_threshold),
+            plus_one=plus_one,
+            suppress_at_equal=suppress_at_equal,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad // TILE, TILE), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(boxes_p, valid_p)
+
+    alive = alive.reshape(-1)[:n] > 0.5
+
+    # pack surviving indices (in score order) into max_outputs slots
+    rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    take = alive & (rank < max_outputs)
+    slots = jnp.where(take, rank, max_outputs)
+    keep = jnp.full((max_outputs + 1,), pad_value, jnp.int32)
+    keep = keep.at[slots].set(jnp.arange(n, dtype=jnp.int32))[:max_outputs]
+    n_kept = jnp.minimum(jnp.sum(alive.astype(jnp.int32)), max_outputs)
+    keep_valid = jnp.arange(max_outputs) < n_kept
+    return keep, keep_valid

@@ -49,6 +49,20 @@ def find_last(log_dir: str, name: str) -> Tuple[Optional[str], Optional[int]]:
     return best, (best_epoch if best else None)
 
 
+def save_train_state(state: Any, log_dir: str, name: str, epoch: int) -> str:
+    """Full resume checkpoint: params + optimizer state + step."""
+    path = checkpoint_path(log_dir, name, epoch) + ".state"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+    return path
+
+
+def restore_train_state(path: str, template_state: Any) -> Any:
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template_state, f.read())
+
+
 def load_weights(path: str, template: Any, glm_path: Optional[str] = None) -> Any:
     """Load a checkpoint: native .ckpt, or a reference torch .pth (converted
     on the fly — the reference's strict=False partial-load role)."""

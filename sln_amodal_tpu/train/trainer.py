@@ -109,7 +109,8 @@ class Trainer:
 
     def train_stage(self, loader: Iterable, stage: str, learning_rate: float,
                     epochs: int, steps_per_epoch: Optional[int] = None,
-                    seed: int = 0, on_epoch_end=None) -> Dict[str, float]:
+                    seed: int = 0, on_epoch_end=None,
+                    accumulate_steps: int = 1) -> Dict[str, float]:
         cfg = self.config
         steps = steps_per_epoch or cfg.steps_per_epoch
         tx = make_optimizer(
@@ -117,6 +118,10 @@ class Trainer:
             momentum=cfg.learning_momentum, weight_decay=cfg.weight_decay,
             clip_norm=cfg.gradient_clip_norm,
         )
+        if accumulate_steps > 1:
+            # the reference steps the optimizer every BATCH_SIZE micro-batches
+            # (model.py:442-448); MultiSteps is the jit-native equivalent.
+            tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
         opt_state = tx.init(self.variables)
         state = TrainState(self.variables, opt_state, jnp.zeros((), jnp.int32))
 
