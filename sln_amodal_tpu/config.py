@@ -101,6 +101,7 @@ class Config:
     # --- compute ----------------------------------------------------------
     compute_dtype: str = "bfloat16"   # conv/matmul compute dtype on TPU
     param_dtype: str = "float32"
+    nms_impl: str = "auto"            # 'pallas' | 'xla' | 'auto' (pallas on TPU)
 
     # ----------------------------------------------------------------------
     @property

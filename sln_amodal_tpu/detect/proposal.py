@@ -19,6 +19,14 @@ import jax.numpy as jnp
 
 from ..ops.boxes import apply_box_deltas, clip_boxes
 from ..ops.nms import nms_sorted
+from ..ops.nms_pallas import nms_sorted_pallas
+
+
+def _nms_dispatch(impl: str):
+    """'pallas' | 'xla' | 'auto' (pallas on TPU, xla elsewhere)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    return nms_sorted_pallas if impl == "pallas" else nms_sorted
 
 
 def proposal_layer(
@@ -31,6 +39,7 @@ def proposal_layer(
     image_size: int,
     rpn_bbox_std_dev,
     pre_nms_limit: int = 6000,
+    nms_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-image proposals.
 
@@ -55,7 +64,7 @@ def proposal_layer(
     boxes = apply_box_deltas(top_anchors.astype(jnp.float32), deltas)
     boxes = clip_boxes(boxes, (0.0, 0.0, float(image_size), float(image_size)))
 
-    keep, keep_valid = nms_sorted(
+    keep, keep_valid = _nms_dispatch(nms_impl)(
         boxes,
         jnp.ones((k,), bool),
         max_outputs=proposal_count,

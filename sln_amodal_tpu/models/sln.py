@@ -125,6 +125,7 @@ class SLNAmodal(nn.Module):
                 image_size=cfg.image_size,
                 rpn_bbox_std_dev=cfg.rpn_bbox_std_dev,
                 pre_nms_limit=cfg.pre_nms_limit,
+                nms_impl=cfg.nms_impl,
             )
 
         return jax.vmap(one)(rpn_probs, rpn_deltas)
@@ -311,9 +312,22 @@ def create_model(config: Config) -> SLNAmodal:
 
 
 def init_params(config: Config, rng: jax.Array):
-    """Initialize parameters by tracing the inference graph on one image."""
+    """Initialize parameters by tracing the inference graph on one image
+    (or the training graph when optional training-only heads are enabled,
+    so their params materialize)."""
     size = config.image_size
     model = SLNAmodal(config)
     images = jnp.zeros((1, size, size, 3), jnp.float32)
+    if config.use_refine_head:
+        g, l = config.max_gt_instances, config.num_layers
+        return model.init(
+            rng,
+            jax.random.PRNGKey(0),
+            images,
+            jnp.zeros((1, g), jnp.int32),
+            jnp.zeros((1, g, 4), jnp.float32),
+            jnp.zeros((1, g, l, size, size), jnp.float32),
+            method=SLNAmodal.train_step_outputs,
+        )
     windows = jnp.asarray([[0, 0, size, size]], jnp.float32)
     return model.init(rng, images, windows)

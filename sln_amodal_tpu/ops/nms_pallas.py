@@ -31,16 +31,21 @@ TILE = 128
 
 
 def _iou_tile(a: jnp.ndarray, b: jnp.ndarray, plus_one: bool) -> jnp.ndarray:
-    """IoU matrix [Ta, Tb] between two box tiles ([T, 4] each)."""
+    """IoU matrix [Ta, Tb] between two box tiles ([T, 4] each).
+
+    Uses only basic slices (Mosaic lowers mixed int/None indexing to an
+    unsupported gather)."""
     add = 1.0 if plus_one else 0.0
-    y1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
-    x1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
-    y2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
-    x2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    ay1, ax1, ay2, ax2 = (a[:, i : i + 1] for i in range(4))        # [Ta, 1]
+    by1, bx1, by2, bx2 = (b[:, i : i + 1].T for i in range(4))      # [1, Tb]
+    y1 = jnp.maximum(ay1, by1)
+    x1 = jnp.maximum(ax1, bx1)
+    y2 = jnp.minimum(ay2, by2)
+    x2 = jnp.minimum(ax2, bx2)
     inter = jnp.maximum(y2 - y1 + add, 0.0) * jnp.maximum(x2 - x1 + add, 0.0)
-    area_a = (a[:, 2] - a[:, 0] + add) * (a[:, 3] - a[:, 1] + add)
-    area_b = (b[:, 2] - b[:, 0] + add) * (b[:, 3] - b[:, 1] + add)
-    union = area_a[:, None] + area_b[None, :] - inter
+    area_a = (ay2 - ay1 + add) * (ax2 - ax1 + add)                  # [Ta, 1]
+    area_b = (by2 - by1 + add) * (bx2 - bx1 + add)                  # [1, Tb]
+    union = area_a + area_b - inter
     return inter / jnp.where(union != 0, union, 1.0)
 
 
@@ -62,12 +67,12 @@ def _nms_kernel(boxes_ref, valid_ref, alive_ref, *, iou_threshold: float,
 
     def tile_body(k, _):
         tb = boxes_ref[pl.ds(k * TILE, TILE), :]
-        init = alive_ref[k, :]  # [T] f32 0/1
+        init = alive_ref[pl.ds(k, 1), :][0]  # [T] f32 0/1
 
         # --- cross-tile suppression by earlier survivors ---
         def cross(j, sup):
             pb = boxes_ref[pl.ds(j * TILE, TILE), :]
-            pa = alive_ref[j, :]
+            pa = alive_ref[pl.ds(j, 1), :][0]
             iou = _iou_tile(pb, tb, plus_one)            # [T_prev, T_cur]
             s = jnp.max(
                 jnp.where(hit(iou), pa[:, None], 0.0), axis=0
@@ -92,7 +97,7 @@ def _nms_kernel(boxes_ref, valid_ref, alive_ref, *, iou_threshold: float,
             return new_x, jnp.any(new_x != x)
 
         x, _ = jax.lax.while_loop(fix_cond, fix_body, (init, jnp.bool_(True)))
-        alive_ref[k, :] = x
+        alive_ref[pl.ds(k, 1), :] = x[None, :]
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
