@@ -23,6 +23,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from sln_amodal_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+
     from sln_amodal_tpu.config import inference_config
     from sln_amodal_tpu.models.sln import SLNAmodal, init_params
 

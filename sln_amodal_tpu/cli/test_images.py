@@ -25,9 +25,9 @@ from ..utils.logging import log
 
 
 def main(argv=None) -> None:
-    platform = os.environ.get("SLN_PLATFORM")
-    if platform:
-        jax.config.update("jax_platforms", platform)
+    from ..utils.runtime import setup_runtime
+
+    setup_runtime()
     p = argparse.ArgumentParser()
     p.add_argument("--images", required=True, help="directory of images")
     p.add_argument("--model", required=False, help="checkpoint path")

@@ -146,11 +146,9 @@ def run_train(args) -> None:
 
 
 def main(argv=None) -> None:
-    # SLN_PLATFORM=cpu forces the CPU backend (the axon TPU plugin overrides
-    # JAX_PLATFORMS at import, so an explicit config update is required).
-    platform = os.environ.get("SLN_PLATFORM")
-    if platform:
-        jax.config.update("jax_platforms", platform)
+    from ..utils.runtime import setup_runtime
+
+    setup_runtime()
     args = build_parser().parse_args(argv)
     log(f"Command: {args.command}")
     log(f"Dataset: {args.dataset}")

@@ -206,16 +206,26 @@ class TrainLoader:
         self.augment = augment
         self.anchors = config_anchors(config)
         self.prefetch = prefetch
+        self.error_count = 0
 
     def _sample_stream(self) -> Iterator[Dict[str, np.ndarray]]:
         ids = np.asarray(self.dataset.image_ids)
         while True:
             self.rng.shuffle(ids)
             for image_id in ids:
-                s = make_training_sample(
-                    self.dataset, self.config, int(image_id), self.anchors,
-                    rng=self.rng, augment=self.augment,
-                )
+                # failure containment: a corrupt image / missing .npz is
+                # skipped and counted instead of killing the epoch (the
+                # reference's unused error_count, model.py:62, made real).
+                try:
+                    s = make_training_sample(
+                        self.dataset, self.config, int(image_id), self.anchors,
+                        rng=self.rng, augment=self.augment,
+                    )
+                except (OSError, ValueError, KeyError) as e:
+                    self.error_count += 1
+                    print(f"[TrainLoader] skipping image {image_id}: {e!r} "
+                          f"(errors={self.error_count})")
+                    continue
                 if s is not None:
                     yield s
 
