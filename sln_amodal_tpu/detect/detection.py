@@ -96,14 +96,15 @@ def refine_detections(
             iou_threshold=nms_threshold,
             plus_one=True,
         )
-        keep_after = jnp.zeros((r,), bool)
-        keep_after = keep_after.at[order[jnp.maximum(nms_keep, 0)]].set(nms_valid)
+        target = jnp.where(nms_valid, order[jnp.maximum(nms_keep, 0)], r)
+        keep_after = jnp.zeros((r,), bool).at[target].set(True, mode="drop")
         keep = keep & keep_after
 
     # Top-max_instances by score among kept, sorted descending
     # (Functions.py:528-547: cap at 100 then sort).
     score_key = jnp.where(keep, class_scores, -jnp.inf)
-    top_scores, top_idx = jax.lax.top_k(score_key, max_instances)
+    k = min(max_instances, r)
+    top_scores, top_idx = jax.lax.top_k(score_key, k)
     valid = top_scores > -jnp.inf
 
     det_boxes = refined[top_idx]
@@ -113,4 +114,7 @@ def refine_detections(
         [det_boxes, det_ids[:, None], det_scores[:, None]], axis=1
     )
     detections = jnp.where(valid[:, None], detections, 0.0)
+    if k < max_instances:
+        detections = jnp.pad(detections, ((0, max_instances - k), (0, 0)))
+        valid = jnp.pad(valid, (0, max_instances - k))
     return detections, valid
