@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sticky_freeze", action="store_true",
                    help="reproduce the reference's sticky layer freezing")
+    p.add_argument("--stage", default=None,
+                   help="train only this stage (heads/3+/4+/5+/all) instead "
+                        "of the full 3-stage schedule")
+    p.add_argument("--epochs", type=int, default=1,
+                   help="epochs when --stage is given")
     return p
 
 
@@ -137,12 +142,18 @@ def run_train(args) -> None:
         path = ckpt.save(params, args.logs, config.name, epoch)
         log(f"checkpoint: {path}")
 
-    trainer.train(
-        loader,
-        steps_per_epoch=args.steps_per_epoch,
-        sticky_freeze=args.sticky_freeze,
-        on_epoch_end=save_epoch,
-    )
+    if args.stage:
+        trainer.train_stage(
+            loader, args.stage, config.learning_rate, args.epochs,
+            steps_per_epoch=args.steps_per_epoch, on_epoch_end=save_epoch,
+        )
+    else:
+        trainer.train(
+            loader,
+            steps_per_epoch=args.steps_per_epoch,
+            sticky_freeze=args.sticky_freeze,
+            on_epoch_end=save_epoch,
+        )
 
 
 def main(argv=None) -> None:
