@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sticky_freeze", action="store_true",
                    help="reproduce the reference's sticky layer freezing")
+    p.add_argument("--eval_batch", type=int, default=1,
+                   help="images per device batch during evaluation")
     p.add_argument("--stage", default=None,
                    help="train only this stage (heads/3+/4+/5+/all) instead "
                         "of the full 3-stage schedule")
@@ -95,16 +97,23 @@ def run_evaluate(args) -> None:
 
     results = []
     t0 = time.time()
-    for i, image_id in enumerate(image_ids):
-        image = dataset.load_image(int(image_id))
-        r = detector.detect([image])[0]
-        results.extend(
-            build_coco_results(
-                dataset.image_info[int(image_id)]["id"],
-                r["rois"], r["class_ids"], r["scores"], r["masks"],
+    bsz = max(1, args.eval_batch)
+    for start in range(0, len(image_ids), bsz):
+        chunk = [int(i) for i in image_ids[start : start + bsz]]
+        images = [dataset.load_image(i) for i in chunk]
+        # pad the final partial batch to keep one compiled program
+        n_real = len(images)
+        while len(images) < bsz:
+            images.append(images[-1])
+        rs = detector.detect(images)[:n_real]
+        for image_id, r in zip(chunk, rs):
+            results.extend(
+                build_coco_results(
+                    dataset.image_info[image_id]["id"],
+                    r["rois"], r["class_ids"], r["scores"], r["masks"],
+                )
             )
-        )
-        progress_bar(i + 1, len(image_ids), prefix="eval")
+        progress_bar(min(start + bsz, len(image_ids)), len(image_ids), prefix="eval")
     elapsed = time.time() - t0
     log(f"Prediction time: {elapsed:.1f}s — {len(image_ids) / max(elapsed, 1e-9):.2f} images/s")
 
