@@ -20,8 +20,10 @@ Two entry points:
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -114,7 +116,7 @@ def roi_levels(
     return jnp.clip(jnp.round(lvl), min_level, max_level).astype(jnp.int32)
 
 
-def pyramid_roi_align(
+def pyramid_roi_align_gather(
     features: Sequence[jnp.ndarray],
     boxes: jnp.ndarray,
     crop_size: Tuple[int, int],
@@ -196,3 +198,105 @@ def pyramid_roi_align(
 
     valid = valid_y[:, :, None, None] & valid_x[:, None, :, None]
     return jnp.where(valid, out, jnp.asarray(extrapolation_value, flat.dtype))
+
+
+# -------------------------------------------------------- custom backward ---
+#
+# XLA lowers the gather's reverse-mode transpose to a scatter-add, which is
+# catastrophically slow on TPU for duplicate indices (it serializes). The
+# bilinear crop is separable — out[n,i,j,c] = Σ_y Σ_x Yw[n,i,y]·Xw[n,j,x]·
+# F[y,x,c] with 2-nonzero one-hot weight rows — so the feature gradient is
+# two einsums per pyramid level, all MXU work:
+#
+#     A[n,i,x,c]  = Σ_j Xw[n,j,x] · g[n,i,j,c]
+#     dF_l[y,x,c] = Σ_{n,i} Yw[n,i,y] · A[n,i,x,c]     (n restricted to level l)
+#
+# Box gradients are defined zero: every caller treats ROI boxes as sampling
+# locations, not a gradient path (the reference detaches them, modals.py:81).
+
+
+def _sample_geometry(shapes, boxes, crop_size, image_shape):
+    ch, cw = crop_size
+    heights = np.array([s[0] for s in shapes], np.float32)
+    widths = np.array([s[1] for s in shapes], np.float32)
+
+    lvl = roi_levels(boxes, float(image_shape[0] * image_shape[1]))
+    lvl_idx = jnp.clip(lvl - 2, 0, len(shapes) - 1)
+    h_l = jnp.asarray(heights)[lvl_idx]
+    w_l = jnp.asarray(widths)[lvl_idx]
+
+    boxes = boxes.astype(jnp.float32)
+    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+
+    def coords(lo, hi, out_size, dim):
+        dim1 = dim - 1.0
+        if out_size > 1:
+            scale = (hi - lo) * dim1 / (out_size - 1)
+            steps = jnp.arange(out_size, dtype=jnp.float32)
+            return lo[:, None] * dim1[:, None] + steps[None, :] * scale[:, None]
+        return (0.5 * (lo + hi) * dim1)[:, None]
+
+    in_y = coords(y1, y2, ch, h_l)
+    in_x = coords(x1, x2, cw, w_l)
+    valid_y = (in_y >= 0) & (in_y <= (h_l[:, None] - 1))
+    valid_x = (in_x >= 0) & (in_x <= (w_l[:, None] - 1))
+    top = jnp.clip(jnp.floor(in_y), 0, h_l[:, None] - 1)
+    bottom = jnp.clip(jnp.ceil(in_y), 0, h_l[:, None] - 1)
+    y_lerp = in_y - jnp.floor(in_y)
+    left = jnp.clip(jnp.floor(in_x), 0, w_l[:, None] - 1)
+    right = jnp.clip(jnp.ceil(in_x), 0, w_l[:, None] - 1)
+    x_lerp = in_x - jnp.floor(in_x)
+    return (lvl_idx, valid_y, valid_x, top, bottom, y_lerp, left, right, x_lerp)
+
+
+def _axis_weights(lo_idx, hi_idx, lerp, valid, mask_n, dim):
+    """[N, K, dim] one-hot interpolation weights along one axis."""
+    iota = jnp.arange(dim, dtype=jnp.float32)[None, None, :]
+    w = (lo_idx[:, :, None] == iota) * (1.0 - lerp[:, :, None]) + (
+        hi_idx[:, :, None] == iota
+    ) * lerp[:, :, None]
+    return w * valid[:, :, None] * mask_n[:, None, None]
+
+
+def pyramid_roi_align(features, boxes, crop_size, image_shape):
+    """:func:`pyramid_roi_align_gather` with an MXU-friendly backward.
+
+    features: sequence of [Hl, Wl, C]; boxes [N, 4] normalized; returns
+    [N, ch, cw, C]. Gradients: einsum into features, zero into boxes.
+    """
+    features = tuple(features)
+    shapes = tuple(f.shape for f in features)
+    dtypes = tuple(f.dtype for f in features)
+
+    @jax.custom_vjp
+    def op(features, boxes):
+        return pyramid_roi_align_gather(features, boxes, crop_size, image_shape)
+
+    def fwd(features, boxes):
+        return op(features, boxes), boxes
+
+    def bwd(boxes_res, g):
+        geom = _sample_geometry(shapes, boxes_res, crop_size, image_shape)
+        (lvl_idx, valid_y, valid_x, top, bottom, y_lerp, left, right, x_lerp) = geom
+        g32 = g.astype(jnp.float32)
+        grads = []
+        for l, shape in enumerate(shapes):
+            hl, wl, _ = shape
+            mask_n = (lvl_idx == l).astype(jnp.float32)
+            yw = _axis_weights(
+                top, bottom, y_lerp, valid_y.astype(jnp.float32), mask_n, hl
+            )
+            xw = _axis_weights(
+                left, right, x_lerp, valid_x.astype(jnp.float32), mask_n, wl
+            )
+            a = jnp.einsum(
+                "njx,nijc->nixc", xw, g32, preferred_element_type=jnp.float32
+            )
+            df = jnp.einsum(
+                "niy,nixc->yxc", yw, a, preferred_element_type=jnp.float32
+            )
+            grads.append(df.astype(dtypes[l]))
+        return tuple(grads), jnp.zeros_like(boxes_res)
+
+    op.defvjp(fwd, bwd)
+    return op(features, boxes)
