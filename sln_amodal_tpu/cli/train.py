@@ -122,7 +122,13 @@ def run_evaluate(args) -> None:
         return
     dt = DetectionResults(results)
     order_key = "order" if args.data_type == "COCOA" else "amodal_region.order"
-    ev = AmodalEval(coco, dt, limit=args.limit, order_key=order_key)
+    ev = AmodalEval(coco, dt, order_key=order_key)
+    # evaluate exactly the images detections were produced for (the reference
+    # pins cocoEval.params.imgIds to the detected ids, amodal_train.py:490);
+    # a bare [:limit] over JSON order could score a different image set.
+    ev.params.img_ids = [
+        dataset.image_info[int(i)]["id"] for i in image_ids
+    ]
     evaluate_sweep(ev)
 
 

@@ -92,6 +92,15 @@ def build_rpn_targets(anchors: np.ndarray, gt_class_ids: np.ndarray,
     a = anchors.shape[0]
     rpn_match = np.zeros((a,), np.int32)
     rpn_deltas = np.zeros((a, 4), np.float32)
+
+    # Degenerate (zero-area) GT boxes — e.g. a mask collapsed by the
+    # nearest-neighbour downscale or the jitter's int truncation — would
+    # force-match an anchor and emit log(0) = -inf regression targets,
+    # silently NaN-ing training. Treat them as absent.
+    if gt_boxes.shape[0]:
+        nonzero = (gt_boxes[:, 2] > gt_boxes[:, 0]) & (gt_boxes[:, 3] > gt_boxes[:, 1])
+        gt_boxes = gt_boxes[nonzero]
+        gt_class_ids = gt_class_ids[nonzero]
     if gt_boxes.shape[0] == 0:
         rpn_match[:] = -1
         return rpn_match, rpn_deltas
@@ -198,7 +207,8 @@ class TrainLoader:
     DataLoader role, as one background thread + queue)."""
 
     def __init__(self, dataset, config, batch_size: Optional[int] = None,
-                 seed: int = 0, augment: bool = True, prefetch: int = 4):
+                 seed: int = 0, augment: bool = True, prefetch: int = 4,
+                 workers: int = 4):
         self.dataset = dataset
         self.config = config
         self.batch_size = batch_size or config.batch_size
@@ -206,12 +216,16 @@ class TrainLoader:
         self.augment = augment
         self.anchors = config_anchors(config)
         self.prefetch = prefetch
+        self.workers = max(1, workers)
         self.error_count = 0
 
     def _sample_stream(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self._sample_stream_with(self.rng)
+
+    def _sample_stream_with(self, rng) -> Iterator[Dict[str, np.ndarray]]:
         ids = np.asarray(self.dataset.image_ids)
         while True:
-            self.rng.shuffle(ids)
+            rng.shuffle(ids)
             for image_id in ids:
                 # failure containment: a corrupt image / missing .npz is
                 # skipped and counted instead of killing the epoch (the
@@ -219,7 +233,7 @@ class TrainLoader:
                 try:
                     s = make_training_sample(
                         self.dataset, self.config, int(image_id), self.anchors,
-                        rng=self.rng, augment=self.augment,
+                        rng=rng, augment=self.augment,
                     )
                 except (OSError, ValueError, KeyError) as e:
                     self.error_count += 1
@@ -230,11 +244,16 @@ class TrainLoader:
                     yield s
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Multi-worker prefetching iterator (the reference's num_workers=4
+        DataLoader role). Each worker prepares whole batches from its own
+        shuffled stream with an independent child rng; bounded puts let
+        workers exit (and free their queued batches) once the consumer
+        stops."""
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def worker():
-            stream = self._sample_stream()
+        def worker(worker_rng):
+            stream = self._sample_stream_with(worker_rng)
             batch = []
             while not stop.is_set():
                 batch.append(next(stream))
@@ -242,13 +261,27 @@ class TrainLoader:
                     stacked = {
                         k: np.stack([b[k] for b in batch]) for k in batch[0]
                     }
-                    q.put(stacked)
+                    while not stop.is_set():
+                        try:
+                            q.put(stacked, timeout=0.2)
+                            break
+                        except queue_mod.Full:
+                            continue
                     batch = []
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = []
+        for _ in range(self.workers):
+            rng = np.random.default_rng(int(self.rng.integers(2 ** 63)))
+            t = threading.Thread(target=worker, args=(rng,), daemon=True)
+            t.start()
+            threads.append(t)
         try:
             while True:
                 yield q.get()
         finally:
             stop.set()
+            for t in threads:
+                try:
+                    t.join(timeout=2.0)
+                except Exception:
+                    pass  # interpreter shutdown: threading may be torn down

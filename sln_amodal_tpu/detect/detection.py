@@ -24,7 +24,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.boxes import apply_box_deltas
+from ..ops.boxes import apply_box_deltas, clip_boxes
 from ..ops.nms import nms_sorted
 
 
@@ -66,17 +66,7 @@ def refine_detections(
     refined = apply_box_deltas(rois.astype(jnp.float32), deltas_specific * std[None])
     refined = refined * float(image_size)
 
-    wy1, wx1, wy2, wx2 = window
-    refined = jnp.stack(
-        [
-            jnp.clip(refined[:, 0], wy1, wy2),
-            jnp.clip(refined[:, 1], wx1, wx2),
-            jnp.clip(refined[:, 2], wy1, wy2),
-            jnp.clip(refined[:, 3], wx1, wx2),
-        ],
-        axis=1,
-    )
-    refined = jnp.round(refined)
+    refined = jnp.round(clip_boxes(refined, window))
 
     keep = (class_ids > 0) & roi_valid
     if min_confidence > 0:

@@ -131,7 +131,14 @@ class AmodalEval:
 
     def evaluate(self) -> None:
         p = self.params
-        self.ious = {img_id: self.compute_iou(img_id) for img_id in p.img_ids}
+        # IoU matrices depend only on the mask-selection params, not on the
+        # only_things/occ_rng slice — cache them so the 12-way sweep doesn't
+        # redo the dominant RLE work 12x.
+        cache_key = (p.use_amodal_gt, p.use_amodal_dt, p.use_segm,
+                     tuple(p.max_dets), tuple(p.img_ids))
+        if getattr(self, "_iou_cache_key", None) != cache_key:
+            self.ious = {img_id: self.compute_iou(img_id) for img_id in p.img_ids}
+            self._iou_cache_key = cache_key
         self.eval_imgs = [
             self.evaluate_img(img_id, p.area_rng[0], p.max_dets[-1], p.occ_rng)
             for img_id in p.img_ids
@@ -215,6 +222,33 @@ class AmodalEval:
             "gt_ignore": gt_ig,
             "dt_ignore": dt_ig,
         }
+
+    def export_dt_matches(self, path: Optional[str] = None):
+        """Per-image GT→DT match table from the last evaluate() — the
+        reference's ``exportDtFile`` capability (amodalevalCOCOA.py:202-214),
+        as JSON-serializable dicts."""
+        if not self.eval_imgs:
+            raise RuntimeError("run evaluate() first")
+        rows = []
+        for e in self.eval_imgs:
+            if e is None:
+                continue
+            rows.append(
+                {
+                    "image_id": e["image_id"],
+                    "dt_ids": e["dt_ids"],
+                    "gt_orders": e["gt_orders"],
+                    "gt_matches": np.asarray(e["gt_matches"]).tolist(),
+                    "dt_matches": np.asarray(e["dt_matches"]).tolist(),
+                    "dt_scores": e["dt_scores"],
+                }
+            )
+        if path is not None:
+            import json
+
+            with open(path, "w") as f:
+                json.dump(rows, f)
+        return rows
 
     def accumulate(self) -> None:
         p = self._params_eval

@@ -144,10 +144,19 @@ def counts_from_poly(xy: Sequence[float], h: int, w: int) -> np.ndarray:
     k = len(xy) // 2
     lib = _native()
     if lib is not None:
-        out = np.empty(h * w + 8 * k + 16, np.uint32)
+        cap = h * w + 8 * k + 16
+        out = np.empty(cap, np.uint32)
         m = lib.sln_rle_from_poly(
-            _as_ptr(xy, ctypes.c_double), k, h, w, _as_ptr(out, ctypes.c_uint32)
+            _as_ptr(xy, ctypes.c_double), k, h, w,
+            _as_ptr(out, ctypes.c_uint32), cap,
         )
+        if m < 0:  # crossing count exceeded the heuristic bound — retry exact
+            cap = -m
+            out = np.empty(cap, np.uint32)
+            m = lib.sln_rle_from_poly(
+                _as_ptr(xy, ctypes.c_double), k, h, w,
+                _as_ptr(out, ctypes.c_uint32), cap,
+            )
         return out[:m].copy()
     return _poly_fallback(xy, k, h, w)
 

@@ -66,7 +66,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int, u8p, dp,
         ]
         lib.sln_rle_from_poly.restype = ctypes.c_int
-        lib.sln_rle_from_poly.argtypes = [dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, u32p]
+        lib.sln_rle_from_poly.argtypes = [dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, u32p, ctypes.c_int]
         lib.sln_rle_to_string.restype = ctypes.c_int
         lib.sln_rle_to_string.argtypes = [u32p, ctypes.c_int, ctypes.c_char_p]
         lib.sln_rle_from_string.restype = ctypes.c_int

@@ -225,8 +225,11 @@ void sln_rle_iou(const u32* dt_counts, const int* dt_ms, int m,
 }
 
 // Polygon → RLE with the COCO rasterization convention.
-// xy: k (x, y) vertex pairs. Returns run count written to `out`.
-int sln_rle_from_poly(const double* xy, int k, int h, int w, u32* out) {
+// xy: k (x, y) vertex pairs. Writes at most out_cap runs to `out` and
+// returns the run count; returns -needed when out_cap is insufficient
+// (the crossing count is bounded by boundary travel, not by h*w).
+int sln_rle_from_poly(const double* xy, int k, int h, int w, u32* out,
+                      int out_cap) {
   const double scale = 5.0;
   std::vector<long> px(k + 1), py(k + 1);
   for (int j = 0; j < k; ++j) px[j] = long(scale * xy[2 * j] + 0.5);
@@ -293,6 +296,7 @@ int sln_rle_from_poly(const double* xy, int k, int h, int w, u32* out) {
       if (j < a.size()) b.back() += a[j++];
     }
   }
+  if (int(b.size()) > out_cap) return -int(b.size());
   std::copy(b.begin(), b.end(), out);
   return int(b.size());
 }

@@ -116,105 +116,6 @@ def roi_levels(
     return jnp.clip(jnp.round(lvl), min_level, max_level).astype(jnp.int32)
 
 
-def pyramid_roi_align_gather(
-    features: Sequence[jnp.ndarray],
-    boxes: jnp.ndarray,
-    crop_size: Tuple[int, int],
-    image_shape: Tuple[int, int],
-    extrapolation_value: float = 0.0,
-) -> jnp.ndarray:
-    """Multi-level RoIAlign over FPN features P2..P5 (per-image).
-
-    Args:
-        features: sequence of [Hl, Wl, C] maps ordered P2, P3, P4, P5.
-        boxes: [N, 4] normalized (y1, x1, y2, x2).
-        crop_size: (h, w) of pooled output, static.
-        image_shape: (H, W) of the input image in pixels (for the level rule).
-
-    Returns: [N, crop_h, crop_w, C].
-
-    All levels are flattened into one [S, C] buffer; each box computes flat
-    gather indices for its assigned level — one gather program for all boxes,
-    no boolean grouping (replaces the dynamic per-level loop of
-    modals.py:67-110 with a static gather, the XLA-idiomatic formulation).
-    """
-    num_levels = len(features)
-    c = features[0].shape[-1]
-    ch, cw = crop_size
-
-    heights = np.array([f.shape[0] for f in features], dtype=np.float32)
-    widths = np.array([f.shape[1] for f in features], dtype=np.float32)
-    sizes = [int(f.shape[0] * f.shape[1]) for f in features]
-    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
-
-    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
-
-    lvl = roi_levels(boxes, float(image_shape[0] * image_shape[1]))
-    lvl_idx = lvl - 2  # 0-based into features
-    lvl_idx = jnp.clip(lvl_idx, 0, num_levels - 1)
-
-    h_l = jnp.asarray(heights)[lvl_idx]  # [N]
-    w_l = jnp.asarray(widths)[lvl_idx]
-    off = jnp.asarray(offsets)[lvl_idx]  # [N]
-
-    boxes = boxes.astype(jnp.float32)
-    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-
-    def coords(lo, hi, out_size, dim):
-        dim1 = dim - 1.0  # [N]
-        if out_size > 1:
-            scale = (hi - lo) * dim1 / (out_size - 1)
-            steps = jnp.arange(out_size, dtype=jnp.float32)
-            return lo[:, None] * dim1[:, None] + steps[None, :] * scale[:, None]
-        return (0.5 * (lo + hi) * dim1)[:, None]
-
-    in_y = coords(y1, y2, ch, h_l)  # [N, ch]
-    in_x = coords(x1, x2, cw, w_l)  # [N, cw]
-
-    valid_y = (in_y >= 0) & (in_y <= (h_l[:, None] - 1))
-    valid_x = (in_x >= 0) & (in_x <= (w_l[:, None] - 1))
-
-    top = jnp.clip(jnp.floor(in_y), 0, h_l[:, None] - 1)
-    bottom = jnp.clip(jnp.ceil(in_y), 0, h_l[:, None] - 1)
-    y_lerp = (in_y - jnp.floor(in_y)).astype(flat.dtype)
-    left = jnp.clip(jnp.floor(in_x), 0, w_l[:, None] - 1)
-    right = jnp.clip(jnp.ceil(in_x), 0, w_l[:, None] - 1)
-    x_lerp = (in_x - jnp.floor(in_x)).astype(flat.dtype)
-
-    wl_i = w_l.astype(jnp.int32)[:, None, None]
-    off_i = off.astype(jnp.int32)[:, None, None]
-
-    def flat_idx(yy, xx):
-        return off_i + yy.astype(jnp.int32)[:, :, None] * wl_i + xx.astype(jnp.int32)[:, None, :]
-
-    tl = flat[flat_idx(top, left)]
-    tr = flat[flat_idx(top, right)]
-    bl = flat[flat_idx(bottom, left)]
-    br = flat[flat_idx(bottom, right)]
-
-    top_v = tl + (tr - tl) * x_lerp[:, None, :, None]
-    bot_v = bl + (br - bl) * x_lerp[:, None, :, None]
-    out = top_v + (bot_v - top_v) * y_lerp[:, :, None, None]
-
-    valid = valid_y[:, :, None, None] & valid_x[:, None, :, None]
-    return jnp.where(valid, out, jnp.asarray(extrapolation_value, flat.dtype))
-
-
-# -------------------------------------------------------- custom backward ---
-#
-# XLA lowers the gather's reverse-mode transpose to a scatter-add, which is
-# catastrophically slow on TPU for duplicate indices (it serializes). The
-# bilinear crop is separable — out[n,i,j,c] = Σ_y Σ_x Yw[n,i,y]·Xw[n,j,x]·
-# F[y,x,c] with 2-nonzero one-hot weight rows — so the feature gradient is
-# two einsums per pyramid level, all MXU work:
-#
-#     A[n,i,x,c]  = Σ_j Xw[n,j,x] · g[n,i,j,c]
-#     dF_l[y,x,c] = Σ_{n,i} Yw[n,i,y] · A[n,i,x,c]     (n restricted to level l)
-#
-# Box gradients are defined zero: every caller treats ROI boxes as sampling
-# locations, not a gradient path (the reference detaches them, modals.py:81).
-
-
 def _sample_geometry(shapes, boxes, crop_size, image_shape):
     ch, cw = crop_size
     heights = np.array([s[0] for s in shapes], np.float32)
@@ -247,6 +148,77 @@ def _sample_geometry(shapes, boxes, crop_size, image_shape):
     right = jnp.clip(jnp.ceil(in_x), 0, w_l[:, None] - 1)
     x_lerp = in_x - jnp.floor(in_x)
     return (lvl_idx, valid_y, valid_x, top, bottom, y_lerp, left, right, x_lerp)
+
+
+def pyramid_roi_align_gather(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    crop_size: Tuple[int, int],
+    image_shape: Tuple[int, int],
+    extrapolation_value: float = 0.0,
+) -> jnp.ndarray:
+    """Multi-level RoIAlign over FPN features P2..P5 (per-image).
+
+    Args:
+        features: sequence of [Hl, Wl, C] maps ordered P2, P3, P4, P5.
+        boxes: [N, 4] normalized (y1, x1, y2, x2).
+        crop_size: (h, w) of pooled output, static.
+        image_shape: (H, W) of the input image in pixels (for the level rule).
+
+    Returns: [N, crop_h, crop_w, C].
+
+    All levels are flattened into one [S, C] buffer; each box computes flat
+    gather indices for its assigned level — one gather program for all boxes,
+    no boolean grouping (replaces the dynamic per-level loop of
+    modals.py:67-110 with a static gather, the XLA-idiomatic formulation).
+    The sampling geometry is shared with the custom-VJP backward
+    (:func:`_sample_geometry`) so the two stay bit-identical.
+    """
+    shapes = tuple(f.shape for f in features)
+    c = shapes[0][-1]
+    widths = np.array([sh[1] for sh in shapes], np.float32)
+    sizes = [int(sh[0] * sh[1]) for sh in shapes]
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+
+    (lvl_idx, valid_y, valid_x, top, bottom, y_lerp, left, right,
+     x_lerp) = _sample_geometry(shapes, boxes, crop_size, image_shape)
+
+    wl_i = jnp.asarray(widths)[lvl_idx].astype(jnp.int32)[:, None, None]
+    off_i = jnp.asarray(offsets)[lvl_idx].astype(jnp.int32)[:, None, None]
+    y_lerp = y_lerp.astype(flat.dtype)
+    x_lerp = x_lerp.astype(flat.dtype)
+
+    def flat_idx(yy, xx):
+        return off_i + yy.astype(jnp.int32)[:, :, None] * wl_i + xx.astype(jnp.int32)[:, None, :]
+
+    tl = flat[flat_idx(top, left)]
+    tr = flat[flat_idx(top, right)]
+    bl = flat[flat_idx(bottom, left)]
+    br = flat[flat_idx(bottom, right)]
+
+    top_v = tl + (tr - tl) * x_lerp[:, None, :, None]
+    bot_v = bl + (br - bl) * x_lerp[:, None, :, None]
+    out = top_v + (bot_v - top_v) * y_lerp[:, :, None, None]
+
+    valid = valid_y[:, :, None, None] & valid_x[:, None, :, None]
+    return jnp.where(valid, out, jnp.asarray(extrapolation_value, flat.dtype))
+
+
+# -------------------------------------------------------- custom backward ---
+#
+# XLA lowers the gather's reverse-mode transpose to a scatter-add, which is
+# catastrophically slow on TPU for duplicate indices (it serializes). The
+# bilinear crop is separable — out[n,i,j,c] = Σ_y Σ_x Yw[n,i,y]·Xw[n,j,x]·
+# F[y,x,c] with 2-nonzero one-hot weight rows — so the feature gradient is
+# two einsums per pyramid level, all MXU work:
+#
+#     A[n,i,x,c]  = Σ_j Xw[n,j,x] · g[n,i,j,c]
+#     dF_l[y,x,c] = Σ_{n,i} Yw[n,i,y] · A[n,i,x,c]     (n restricted to level l)
+#
+# Box gradients are defined zero: every caller treats ROI boxes as sampling
+# locations, not a gradient path (the reference detaches them, modals.py:81).
 
 
 def _axis_weights(lo_idx, hi_idx, lerp, valid, mask_n, dim):

@@ -67,8 +67,13 @@ def _path_str(key_path) -> str:
     return "/".join(parts)
 
 
-def trainable_mask(params: Any, stage: str) -> Any:
-    """Boolean pytree: True where the stage trains the param."""
+def trainable_mask(params: Any, stage) -> Any:
+    """Boolean pytree: True where the stage trains the param.
+
+    ``stage`` may be a stage name, a path predicate, or an already-computed
+    boolean pytree (returned unchanged)."""
+    if not isinstance(stage, str) and not callable(stage):
+        return stage  # precomputed mask tree
     pred = STAGES[stage] if isinstance(stage, str) else stage
     inner = params["params"] if isinstance(params, dict) and "params" in params else params
 

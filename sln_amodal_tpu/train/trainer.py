@@ -145,8 +145,9 @@ class Trainer:
         timer = StepTimer()
         last: Dict[str, float] = {}
         it = iter(loader)
+        stage_name = stage if isinstance(stage, str) else "custom-mask"
         for epoch in range(epochs):
-            log(f"Stage '{stage}' epoch {epoch + 1}/{epochs} lr={learning_rate}")
+            log(f"Stage '{stage_name}' epoch {epoch + 1}/{epochs} lr={learning_rate}")
             for step in range(steps):
                 batch = next(it)
                 rng, sub = jax.random.split(rng)
@@ -168,10 +169,13 @@ class Trainer:
 
     def train(self, loader: Iterable, steps_per_epoch: Optional[int] = None,
               sticky_freeze: bool = False, on_epoch_end=None) -> None:
-        """The reference 3-stage schedule."""
+        """The reference 3-stage schedule. ``sticky_freeze=True`` reproduces
+        the reference's effective behavior (each stage can only shrink the
+        trainable set — i.e. heads-only throughout)."""
         sched = StageSchedule(self.config.learning_rate, sticky_freeze)
-        for stage, lr, epochs in sched.stages:
+        for idx, (stage, lr, epochs) in enumerate(sched.stages):
+            mask = sched.stage_mask(self.variables, idx) if sticky_freeze else stage
             self.train_stage(
-                loader, stage, lr, epochs, steps_per_epoch,
+                loader, mask, lr, epochs, steps_per_epoch,
                 on_epoch_end=on_epoch_end,
             )
