@@ -66,6 +66,9 @@ class Config:
     # 65x65-class map region (model.py:593,665 use pool 16 over (65,65)).
     glm_num_classes: int = 182
     glm_input_size: int = 513
+    # MSC extra scales (reference: (0.5, 0.75) + the base scale, max-fused).
+    # () runs single-scale — ~2x faster GLM at some accuracy cost (non-parity).
+    glm_scales: Tuple[float, ...] = (0.5, 0.75)
 
     max_gt_instances: int = 50
 
