@@ -131,6 +131,31 @@ def test_train_step_runs_and_updates(synth_dataset):
     np.testing.assert_array_equal(glm_before, np.asarray(glm_after))
 
 
+def test_stage_transition_carries_params(synth_dataset):
+    """Two consecutive stages: params flow across optimizer rebuilds and the
+    second stage unfreezes more of the tree."""
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(jax.devices("cpu")[:2])
+    trainer = Trainer(cfg, params, mesh=mesh)
+    loader = TrainLoader(synth_dataset, cfg, batch_size=2, seed=0)
+
+    backbone_before = np.asarray(
+        params["params"]["fpn"]["layer4"]["block0"]["conv1"]["kernel"]
+    ).copy()
+    trainer.train_stage(loader, "heads", 0.01, epochs=1, steps_per_epoch=1)
+    after_heads = np.asarray(
+        trainer.variables["params"]["fpn"]["layer4"]["block0"]["conv1"]["kernel"]
+    )
+    np.testing.assert_array_equal(backbone_before, after_heads)  # frozen in heads
+
+    trainer.train_stage(loader, "4+", 0.01, epochs=1, steps_per_epoch=1)
+    after_4p = np.asarray(
+        trainer.variables["params"]["fpn"]["layer4"]["block0"]["conv1"]["kernel"]
+    )
+    assert not np.allclose(backbone_before, after_4p)  # trains in 4+
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0))
