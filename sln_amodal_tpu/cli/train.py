@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "of the full 3-stage schedule")
     p.add_argument("--epochs", type=int, default=1,
                    help="epochs when --stage is given")
+    p.add_argument("--validate_steps", type=int, default=0,
+                   help="run N validation batches after each epoch")
     return p
 
 
@@ -146,6 +148,12 @@ def run_train(args) -> None:
     train_ds.load_amodal(args.dataset, "train", data_type=data_type, year=args.year)
     train_ds.prepare()
 
+    val_loader = None
+    if args.validate_steps > 0:
+        val_ds = AmodalDataset()
+        val_ds.load_amodal(args.dataset, "val", data_type=data_type, year=args.year)
+        val_ds.prepare()
+
     template = init_params(config, jax.random.PRNGKey(args.seed))
     variables = resolve_weights(args, config, template)
     print_network(variables, "sln_amodal")
@@ -153,9 +161,16 @@ def run_train(args) -> None:
     loader = TrainLoader(train_ds, config, seed=args.seed)
     trainer = Trainer(config, variables)
 
+    if args.validate_steps > 0:
+        val_loader = TrainLoader(val_ds, config, seed=args.seed + 1, augment=False)
+
     def save_epoch(epoch, params):
         path = ckpt.save(params, args.logs, config.name, epoch)
         log(f"checkpoint: {path}")
+        if val_loader is not None:
+            trainer.variables = params
+            vl = trainer.validate(val_loader, steps=args.validate_steps)
+            log("  val " + " ".join(f"{k}={v:.4f}" for k, v in sorted(vl.items())))
 
     if args.stage:
         trainer.train_stage(

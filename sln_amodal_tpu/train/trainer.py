@@ -167,6 +167,37 @@ class Trainer:
         self.variables = state.params
         return last
 
+    def validate(self, loader: Iterable, steps: Optional[int] = None,
+                 seed: int = 1) -> Dict[str, float]:
+        """Mean losses over validation batches, no parameter updates.
+
+        (The reference defines VALIDATION_STEPS but its loop never validates
+        — config.py:54; this is the working superset.)
+        """
+        cfg = self.config
+        steps = steps or cfg.validation_steps
+
+        def loss_fn(params, rng, batch):
+            out = self.model.apply(
+                params, rng, batch["images"], batch["gt_class_ids"],
+                batch["gt_boxes"].astype(jnp.float32),
+                batch["gt_masks"].astype(jnp.float32),
+                method=type(self.model).train_step_outputs,
+            )
+            return batched_losses(cfg, out, batch)
+
+        jit_loss = jax.jit(loss_fn)
+        rng = jax.random.PRNGKey(seed)
+        totals: Dict[str, float] = {}
+        it = iter(loader)
+        for _ in range(steps):
+            batch = next(it)
+            rng, sub = jax.random.split(rng)
+            losses = jit_loss(self.variables, sub, batch)
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        return {k: v / steps for k, v in totals.items()}
+
     def train(self, loader: Iterable, steps_per_epoch: Optional[int] = None,
               sticky_freeze: bool = False, on_epoch_end=None) -> None:
         """The reference 3-stage schedule. ``sticky_freeze=True`` reproduces

@@ -156,6 +156,16 @@ def test_stage_transition_carries_params(synth_dataset):
     assert not np.allclose(backbone_before, after_4p)  # trains in 4+
 
 
+def test_validate_loop(synth_dataset):
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg, params, mesh=make_mesh(jax.devices("cpu")[:1]))
+    loader = TrainLoader(synth_dataset, cfg, batch_size=2, seed=0, augment=False)
+    losses = trainer.validate(loader, steps=2)
+    assert np.isfinite(losses["total"])
+    assert set(losses) >= {"rpn_class", "rpn_bbox", "total"}
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0))
