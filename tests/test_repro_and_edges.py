@@ -1,0 +1,105 @@
+"""Reproducibility and edge-case coverage."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sln_amodal_tpu.config import Config
+from sln_amodal_tpu.data.dataset import AmodalCoco, DetectionResults
+from sln_amodal_tpu.eval_amodal import rle
+from sln_amodal_tpu.eval_amodal.amodal_eval import AmodalEval
+from sln_amodal_tpu.models.sln import SLNAmodal, init_params
+
+
+def tiny_cfg():
+    return Config(
+        image_size=64, glm_input_size=33, pre_nms_limit=64,
+        post_nms_rois_training=16, post_nms_rois_inference=16,
+        train_rois_per_image=8, detection_max_instances=4,
+        max_gt_instances=4, compute_dtype="float32",
+    )
+
+
+def test_roi_sampling_deterministic_per_seed():
+    from sln_amodal_tpu.detect.targets import detection_target_layer
+
+    rng = np.random.RandomState(0)
+    # many proposals overlapping one GT box → nontrivial random subsample
+    base = np.array([0.2, 0.2, 0.6, 0.6], np.float32)
+    props = jnp.asarray(base[None] + rng.randn(40, 4).astype(np.float32) * 0.02)
+    gt_ids = jnp.asarray([1, 0])
+    gt_boxes = jnp.asarray([[0.2, 0.2, 0.6, 0.6], [0, 0, 0, 0]], jnp.float32)
+    gt_masks = jnp.ones((2, 1, 32, 32))
+
+    def sample(key):
+        return detection_target_layer(
+            key, props, jnp.ones(40, bool), gt_ids, gt_boxes, gt_masks,
+            train_rois=8, roi_positive_ratio=0.7, mask_shape=(8, 8),
+            bbox_std_dev=(0.1, 0.1, 0.2, 0.2),
+        ).rois
+
+    a = np.asarray(sample(jax.random.PRNGKey(7)))
+    b1 = np.asarray(sample(jax.random.PRNGKey(7)))
+    c = np.asarray(sample(jax.random.PRNGKey(8)))
+    np.testing.assert_array_equal(a, b1)   # same seed → identical sampling
+    assert not np.array_equal(a, c)        # different seed → different sample
+
+
+def _mask_region(mask, **kw):
+    r = rle.encode(np.asfortranarray(mask.astype(np.uint8)))
+    region = {
+        "segmentation": {"size": r["size"], "counts": r["counts"].decode()},
+        "order": 1,
+        "occlude_rate": 0.0,
+        "isStuff": 0,
+    }
+    region.update(kw)
+    return region
+
+
+def test_eval_image_without_detections_counts_as_missed():
+    h = w = 30
+    m = np.zeros((h, w), np.uint8)
+    m[5:20, 5:20] = 1
+    gt = AmodalCoco(dataset={
+        "images": [
+            {"id": 1, "height": h, "width": w, "file_name": "a"},
+            {"id": 2, "height": h, "width": w, "file_name": "b"},
+        ],
+        "annotations": [
+            {"id": 1, "image_id": 1, "regions": [_mask_region(m)]},
+            {"id": 2, "image_id": 2, "regions": [_mask_region(m)]},
+        ],
+    })
+    dt = DetectionResults([
+        {"image_id": 1, "score": 0.9,
+         "segmentation": rle.encode(np.asfortranarray(m))},
+    ])
+    ev = AmodalEval(gt, dt)
+    stats = ev.run()
+    # Reference quirk preserved: evaluateImg returns None when an image has
+    # no detections (amodalevalCOCOA.py:229), so its GT never enters n_pos —
+    # the missed image does NOT lower recall. (Standard COCOeval would score
+    # 0.5 here; the amodal fork scores 1.0.)
+    assert stats[5] == pytest.approx(1.0)
+
+
+def test_eval_region_missing_occlude_rate_defaults_counted():
+    h = w = 20
+    m = np.zeros((h, w), np.uint8)
+    m[2:18, 2:18] = 1
+    region = _mask_region(m)
+    del region["occlude_rate"]
+    gt = AmodalCoco(dataset={
+        "images": [{"id": 1, "height": h, "width": w, "file_name": "a"}],
+        "annotations": [{"id": 1, "image_id": 1, "regions": [region]}],
+    })
+    dt = DetectionResults([
+        {"image_id": 1, "score": 0.9,
+         "segmentation": rle.encode(np.asfortranarray(m))},
+    ])
+    ev = AmodalEval(gt, dt)
+    stats = ev.run()
+    assert stats[0] == pytest.approx(1.0)
