@@ -369,6 +369,35 @@ def iou(dt, gt, iscrowd) -> np.ndarray:
     return out.T
 
 
+def nms(dt: List[RLEDict], thr: float) -> np.ndarray:
+    """Greedy mask NMS — pycocotools ``mask.nms`` contract
+    (``maskApi.c:99-107``, dormant in the reference's live path; provided for
+    API completeness). Returns uint8 keep flags in the given order."""
+    n = len(dt)
+    if n == 0:
+        return np.zeros(0, np.uint8)
+    lib = _native()
+    if lib is not None:
+        counts = [_to_counts(r) for r in dt]
+        cat = np.ascontiguousarray(np.concatenate(counts).astype(np.uint32))
+        ms = np.asarray([len(c) for c in counts], np.int32)
+        h = int(dt[0]["size"][0])
+        keep = np.empty(n, np.uint8)
+        lib.sln_rle_nms(
+            _as_ptr(cat, ctypes.c_uint32), _as_ptr(ms, ctypes.c_int32), n, h,
+            ctypes.c_double(thr), _as_ptr(keep, ctypes.c_uint8),
+        )
+        return keep
+    keep = np.ones(n, np.uint8)
+    for i in range(n):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, n):
+            if keep[j] and float(iou([dt[i]], [dt[j]], [0])[0, 0]) > thr:
+                keep[j] = 0
+    return keep
+
+
 def _bb_iou_one(d, g, crowd):
     da, ga = d[2] * d[3], g[2] * g[3]
     w = min(d[2] + d[0], g[2] + g[0]) - max(d[0], g[0])

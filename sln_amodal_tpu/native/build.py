@@ -65,6 +65,10 @@ def load_library() -> Optional[ctypes.CDLL]:
             u32p, i32p, ctypes.c_int, u32p, i32p, ctypes.c_int,
             ctypes.c_int, u8p, dp,
         ]
+        lib.sln_rle_nms.restype = None
+        lib.sln_rle_nms.argtypes = [
+            u32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_double, u8p,
+        ]
         lib.sln_rle_from_poly.restype = ctypes.c_int
         lib.sln_rle_from_poly.argtypes = [dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, u32p, ctypes.c_int]
         lib.sln_rle_to_string.restype = ctypes.c_int

@@ -224,6 +224,28 @@ void sln_rle_iou(const u32* dt_counts, const int* dt_ms, int m,
   }
 }
 
+// Greedy NMS over masks in the given order — COCO rleNms semantics
+// (maskApi.c:99-107): for each kept mask, suppress every later mask whose
+// IoU with it exceeds thr. counts/ms as in sln_rle_iou; keep[i] in {0,1}.
+void sln_rle_nms(const u32* counts, const int* ms, int n, int h, double thr,
+                 u8* keep) {
+  std::vector<const u32*> p(n);
+  {
+    const u32* q = counts;
+    for (int i = 0; i < n; ++i) { p[i] = q; q += ms[i]; }
+  }
+  for (int i = 0; i < n; ++i) keep[i] = 1;
+  double u;
+  for (int i = 0; i < n; ++i) {
+    if (!keep[i]) continue;
+    for (int j = i + 1; j < n; ++j) {
+      if (!keep[j]) continue;
+      sln_rle_iou(p[i], ms + i, 1, p[j], ms + j, 1, h, nullptr, &u);
+      if (u > thr) keep[j] = 0;
+    }
+  }
+}
+
 // Polygon → RLE with the COCO rasterization convention.
 // xy: k (x, y) vertex pairs. Writes at most out_cap runs to `out` and
 // returns the run count; returns -needed when out_cap is insufficient

@@ -134,3 +134,39 @@ def test_merge_matches_oracle(oracle):
         np.testing.assert_array_equal(
             rle.string_to_counts(got["counts"]), ref_counts(out)
         )
+
+
+def test_nms_matches_oracle(oracle):
+    rng = np.random.RandomState(5)
+    h = w = 24
+    # overlapping blobs so suppression actually fires at thr=0.3
+    masks = []
+    for _ in range(6):
+        y, x = rng.randint(0, h - 10), rng.randint(0, w - 10)
+        m = np.zeros((h, w), np.uint8)
+        m[y:y + 10 + rng.randint(-3, 3), x:x + 10 + rng.randint(-3, 3)] = 1
+        masks.append(m)
+    rds = [rle.encode(np.asfortranarray(m)) for m in masks]
+    for thr in (0.1, 0.3, 0.7):
+        got = rle.nms(rds, thr)
+        structs = (RefRLE * 6)(*[
+            make_ref_rle(oracle, rle.encode_counts(m), h, w) for m in masks
+        ])
+        keep = (ctypes.c_uint * 6)()
+        oracle.rleNms(structs, 6, keep, ctypes.c_double(thr))
+        np.testing.assert_array_equal(np.asarray(got, int), np.asarray(keep[:6], int))
+
+
+def test_nms_fallback_matches_native():
+    rng = np.random.RandomState(6)
+    h = w = 16
+    masks = [(rng.rand(h, w) < 0.45).astype(np.uint8) for _ in range(5)]
+    rds = [rle.encode(np.asfortranarray(m)) for m in masks]
+    native = rle.nms(rds, 0.2)
+    lib, checked = rle._lib, rle._lib_checked
+    try:
+        rle._lib, rle._lib_checked = None, True
+        fallback = rle.nms(rds, 0.2)
+    finally:
+        rle._lib, rle._lib_checked = lib, checked
+    np.testing.assert_array_equal(native, fallback)
