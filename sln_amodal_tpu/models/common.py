@@ -114,10 +114,44 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
+def _resize_matrix(n_in: int, n_out: int):
+    """Row-stochastic interpolation matrix [n_out, n_in] with torch
+    ``F.interpolate(mode='bilinear', align_corners=False)`` weights:
+    src = max((i + 0.5) * n_in / n_out - 0.5, 0), two-tap linear."""
+    import numpy as np
+
+    scale = n_in / n_out
+    i = np.arange(n_out)
+    src = np.maximum((i + 0.5) * scale - 0.5, 0.0)
+    i0 = np.minimum(np.floor(src).astype(np.int64), n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    w = (src - i0).astype(np.float32)
+    mat = np.zeros((n_out, n_in), np.float32)
+    mat[i, i0] += 1.0 - w
+    mat[i, i1] += w
+    return mat
+
+
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize with half-pixel centers (torch align_corners=False)."""
-    b, _, _, c = x.shape
-    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+    """Bilinear resize with half-pixel centers — exact torch
+    ``align_corners=False`` semantics for BOTH up- and downscale.
+
+    Implemented as two separable matmuls (MXU-friendly): unlike
+    ``jax.image.resize``, which antialiases on downscale (diverging from
+    torch — the reference's GLM input path downscales 1024->513 and the MSC
+    scales downscale again, ``model.py:535``/``msc_deeplab.py:25``), and
+    which lowers to a slow gather chain on this platform (~39 ms for the
+    65->1024 global-label upsample vs <1 ms as matmuls).
+    """
+    h, w = x.shape[1:3]
+    oh, ow = size
+    dtype = x.dtype
+    y = x.astype(jnp.float32)
+    if oh != h:
+        y = jnp.einsum("oh,bhwc->bowc", jnp.asarray(_resize_matrix(h, oh)), y)
+    if ow != w:
+        y = jnp.einsum("pw,bhwc->bhpc", jnp.asarray(_resize_matrix(w, ow)), y)
+    return y.astype(dtype)
 
 
 def subsample_2x(x: jnp.ndarray) -> jnp.ndarray:

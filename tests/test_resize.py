@@ -1,0 +1,39 @@
+"""resize_bilinear must match torch F.interpolate(align_corners=False)
+exactly for upscale AND downscale (jax.image.resize antialiases on
+downscale — the round-1 implementation silently diverged from the
+reference's GLM input path, model.py:535)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as tF  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from sln_amodal_tpu.models.common import resize_bilinear  # noqa: E402
+
+
+@pytest.mark.parametrize("hw_in,hw_out", [
+    ((16, 16), (33, 33)),    # upscale, odd
+    ((16, 16), (9, 9)),      # downscale
+    ((64, 64), (33, 33)),    # ~2x downscale (GLM input path shape class)
+    ((33, 33), (16, 16)),    # MSC scale-0.5 class
+    ((33, 33), (24, 24)),    # MSC scale-0.75 class
+    ((9, 9), (64, 64)),      # label upsample class
+    ((16, 24), (24, 16)),    # non-square both ways
+])
+def test_matches_torch(hw_in, hw_out):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, *hw_in, 3).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), hw_out))
+    ref = tF.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=hw_out,
+        mode="bilinear", align_corners=False,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=5e-5)
+
+
+def test_identity():
+    x = np.random.RandomState(1).randn(1, 8, 8, 2).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(resize_bilinear(jnp.asarray(x), (8, 8))), x)
