@@ -92,6 +92,15 @@ class Config:
     # zeroing the prior. True = reproduce the reference; False = fixed.
     glm_prior_pixel_coords_at_inference: bool = True
 
+    # Fast mode: skip the frozen DeepLab forward entirely on the detect()
+    # path and feed exact-zero prior crops to the mask head. NEAR-parity:
+    # under the pixel-coords quirk the prior crop is zero for every
+    # interior box, but detections touching the top/left image edge
+    # (y1 <= 1px or x1 <= 1px) sample the prior's first row/column —
+    # those boxes' masks can differ from the reference. Detections, boxes
+    # and scores are always identical. Off by default (exact parity).
+    glm_elide_at_inference: bool = False
+
     # --- training ---------------------------------------------------------
     batch_size: int = 1
     steps_per_epoch: int = 2500

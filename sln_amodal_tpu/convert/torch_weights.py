@@ -205,8 +205,10 @@ def assert_tree_matches(converted, initialized) -> None:
     missing = set(init_flat) - set(conv_flat)
     extra = set(conv_flat) - set(init_flat)
     if missing or extra:
-        raise ValueError(f"param tree mismatch: missing={sorted(missing)[:5]} "
-                         f"extra={sorted(extra)[:5]}")
+        # KeyPath entries aren't orderable — sort their string forms
+        miss = sorted(jax.tree_util.keystr(k) for k in missing)[:5]
+        ext = sorted(jax.tree_util.keystr(k) for k in extra)[:5]
+        raise ValueError(f"param tree mismatch: missing={miss} extra={ext}")
     for k, v in init_flat.items():
         if tuple(conv_flat[k].shape) != tuple(v.shape):
             raise ValueError(f"shape mismatch at {k}: {conv_flat[k].shape} vs {v.shape}")

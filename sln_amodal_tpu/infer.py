@@ -21,6 +21,17 @@ from .models.sln import SLNAmodal
 from .utils import image as image_utils
 
 
+@functools.lru_cache(maxsize=16)
+def _jitted_infer(config: Config, detect_only: bool):
+    """One compiled inference program per (config, mode) — shared across
+    Detector instances so constructing a new Detector never recompiles."""
+    model = SLNAmodal(config)
+    method = SLNAmodal.infer_detect_only if detect_only else SLNAmodal.infer
+    return jax.jit(
+        lambda v, images, windows: model.apply(v, images, windows, method=method)
+    )
+
+
 class Detector:
     """Runs the detection pipeline on raw images.
 
@@ -28,15 +39,23 @@ class Detector:
 
         det = Detector(config, params)
         results = det.detect([image])          # list of dicts, like reference
+
+    ``detect_only=True`` (default) compiles the graph for the reference
+    ``detect()`` output contract (rois/class_ids/scores/masks —
+    ``model.py:464-514``), which under the reference's pixel-coords GLM quirk
+    elides the frozen DeepLab forward entirely (see
+    ``SLNAmodal.infer_detect_only``). Pass ``detect_only=False`` to also
+    compute the GLM global label (exposed as ``last_global_label``).
     """
 
-    def __init__(self, config: Config, variables: Dict[str, Any]):
+    def __init__(self, config: Config, variables: Dict[str, Any],
+                 detect_only: bool = True):
         self.config = config
         self.variables = variables
         self.model = SLNAmodal(config)
-        self._infer = jax.jit(
-            lambda v, images, windows: self.model.apply(v, images, windows)
-        )
+        self.detect_only = detect_only
+        self.last_global_label = None
+        self._infer = _jitted_infer(config, detect_only)
 
     def detect(self, images: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
         """images: list of [H, W, 3] uint8 arrays (any sizes).
@@ -53,6 +72,8 @@ class Detector:
         )
         detections = np.asarray(out.detections)
         masks = np.asarray(out.masks)  # [B, D, mh, mw, C]
+        if not self.detect_only:
+            self.last_global_label = np.asarray(out.global_label)
 
         results = []
         for i, image in enumerate(images):

@@ -52,6 +52,16 @@ class InferenceOutputs(NamedTuple):
     global_label: jnp.ndarray  # [B, H, W] upsampled GLM argmax
 
 
+class DetectOutputs(NamedTuple):
+    """Outputs of the ``detect()`` contract (reference ``model.py:464-514``
+    returns only rois/class_ids/scores/masks — the GLM global label is
+    computed and discarded there)."""
+
+    detections: jnp.ndarray
+    det_valid: jnp.ndarray
+    masks: jnp.ndarray
+
+
 class TrainingOutputs(NamedTuple):
     rpn_logits: jnp.ndarray        # [B, A, 2]
     rpn_deltas: jnp.ndarray        # [B, A, 4]
@@ -89,9 +99,11 @@ class SLNAmodal(nn.Module):
         deltas = jnp.concatenate([o[2] for o in outs], axis=1)
         return logits, probs, deltas
 
-    def _glm_prior(self, images: jnp.ndarray):
+    def _glm_prior(self, images: jnp.ndarray, need_label: bool = True):
         """Frozen DeepLab prior: probs+label channel at the GLM grid, and the
-        full-resolution argmax label (model.py:535-543)."""
+        full-resolution argmax label (model.py:535-543). ``need_label=False``
+        skips the full-res label upsample (the detect() contract discards
+        it)."""
         cfg = self.config
         h, w = images.shape[1:3]
         glm_in = resize_bilinear(images, (cfg.glm_input_size, cfg.glm_input_size))
@@ -102,6 +114,8 @@ class SLNAmodal(nn.Module):
         prior = jnp.concatenate(
             [probs, label[..., None].astype(jnp.float32) / 255.0], axis=-1
         )                                              # [B, g, g, 183]
+        if not need_label:
+            return prior, None
         global_label = resize_bilinear(
             label[..., None].astype(jnp.float32), (h, w)
         )[..., 0]
@@ -154,7 +168,9 @@ class SLNAmodal(nn.Module):
     def _mask_on(self, feats_per_image, rois, glm_prior, glm_boxes):
         """Mask head over [B, N] boxes. ``glm_boxes`` are the coords used for
         the GLM prior crop (may deliberately be pixel coords — see module
-        docstring)."""
+        docstring). ``glm_prior=None`` feeds exact-zero prior crops — used by
+        the detect-only fast path when the reference's pixel-coords quirk
+        makes every crop 0 anyway."""
         cfg = self.config
         b, n = rois.shape[:2]
         m = cfg.mask_pool_size
@@ -166,10 +182,17 @@ class SLNAmodal(nn.Module):
 
         fpn_crops = jax.vmap(crop_fpn)(*feats_per_image, rois)
 
-        def crop_glm(prior_i, boxes_i):
-            return crop_and_resize(prior_i[None], boxes_i, jnp.zeros((n,), jnp.int32), (m, m))
+        if glm_prior is None:
+            glm_crops = jnp.zeros(
+                (b, n, m, m, cfg.glm_num_classes + 1), fpn_crops.dtype
+            )
+        else:
+            def crop_glm(prior_i, boxes_i):
+                return crop_and_resize(
+                    prior_i[None], boxes_i, jnp.zeros((n,), jnp.int32), (m, m)
+                )
 
-        glm_crops = jax.vmap(crop_glm)(glm_prior, glm_boxes)
+            glm_crops = jax.vmap(crop_glm)(glm_prior, glm_boxes)
 
         fpn_crops = fpn_crops.reshape(b * n, m, m, -1)
         glm_crops = glm_crops.reshape(b * n, m, m, -1)
@@ -183,10 +206,45 @@ class SLNAmodal(nn.Module):
 
     def infer(self, images: jnp.ndarray, windows: jnp.ndarray) -> InferenceOutputs:
         """Full inference graph. images [B,H,W,3] molded; windows [B,4] px."""
+        return self._infer_impl(images, windows, detect_only=False)
+
+    def infer_detect_only(
+        self, images: jnp.ndarray, windows: jnp.ndarray
+    ) -> DetectOutputs:
+        """Inference graph for the ``detect()`` output contract only —
+        output-identical to :meth:`infer` restricted to
+        detections/det_valid/masks; the full-resolution global argmax label
+        (computed but discarded by the reference's ``detect()``,
+        ``model.py:464-514``) is not materialized.
+
+        When ``config.glm_elide_at_inference`` is additionally set, the
+        frozen DeepLab-MSC forward (the dominant inference cost) is skipped
+        and the mask head receives exact-zero prior crops — the value the
+        reference's pixel-coords quirk (``model.py:591``) produces for every
+        interior detection box. NEAR-parity: boxes touching the top/left
+        image edge (y1 or x1 <= 1px, where y1·(H-1) still lands inside the
+        prior grid under the normalized-coords misinterpretation) sample the
+        prior's first row/column, so their masks can differ. See the flag's
+        doc in config.py.
+        """
+        return self._infer_impl(images, windows, detect_only=True)
+
+    def _infer_impl(self, images, windows, *, detect_only: bool):
         cfg = self.config
         p2, p3, p4, p5, p6 = self.fpn(images)
         _, rpn_probs, rpn_deltas = self._rpn_all_levels((p2, p3, p4, p5, p6))
-        glm_prior, global_label = self._glm_prior(images)
+        skip_glm = (
+            detect_only
+            and cfg.glm_prior_pixel_coords_at_inference
+            and cfg.glm_elide_at_inference
+        )
+        if skip_glm:
+            glm_prior, global_label = None, None
+        elif detect_only:
+            glm_prior, _ = self._glm_prior(images, need_label=False)
+            global_label = None
+        else:
+            glm_prior, global_label = self._glm_prior(images)
 
         rois, roi_valid = self._proposals(
             rpn_probs, rpn_deltas, cfg.post_nms_rois_inference
@@ -226,6 +284,8 @@ class SLNAmodal(nn.Module):
         layer_sum = jax.nn.sigmoid(jnp.sum(mask_logits[..., 1:], axis=-1))
         masks = mask_logits.at[..., 1].set(layer_sum)
 
+        if detect_only:
+            return DetectOutputs(detections, det_valid, masks)
         return InferenceOutputs(detections, det_valid, masks, global_label)
 
     def train_step_outputs(

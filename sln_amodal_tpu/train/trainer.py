@@ -106,6 +106,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.checkpoint_dir = checkpoint_dir
         self.epoch = 0
+        self._jit_val_loss = None  # compiled once, reused across validate()
 
     def train_stage(self, loader: Iterable, stage: str, learning_rate: float,
                     epochs: int, steps_per_epoch: Optional[int] = None,
@@ -177,16 +178,18 @@ class Trainer:
         cfg = self.config
         steps = steps or cfg.validation_steps
 
-        def loss_fn(params, rng, batch):
-            out = self.model.apply(
-                params, rng, batch["images"], batch["gt_class_ids"],
-                batch["gt_boxes"].astype(jnp.float32),
-                batch["gt_masks"].astype(jnp.float32),
-                method=type(self.model).train_step_outputs,
-            )
-            return batched_losses(cfg, out, batch)
+        if self._jit_val_loss is None:
+            def loss_fn(params, rng, batch):
+                out = self.model.apply(
+                    params, rng, batch["images"], batch["gt_class_ids"],
+                    batch["gt_boxes"].astype(jnp.float32),
+                    batch["gt_masks"].astype(jnp.float32),
+                    method=type(self.model).train_step_outputs,
+                )
+                return batched_losses(cfg, out, batch)
 
-        jit_loss = jax.jit(loss_fn)
+            self._jit_val_loss = jax.jit(loss_fn)
+        jit_loss = self._jit_val_loss
         rng = jax.random.PRNGKey(seed)
         totals: Dict[str, float] = {}
         it = iter(loader)

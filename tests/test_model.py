@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -98,6 +100,49 @@ def test_training_shapes_and_losses(model_and_params):
     )
     for k, v in loss.items():
         assert np.isfinite(float(v)), k
+
+
+def test_detect_only_matches_full_infer(model_and_params):
+    """The detect-only path (global label not materialized) must reproduce
+    the full graph's detections and masks exactly; the glm_elide fast mode
+    must agree on detections always and on masks for interior boxes (edge
+    boxes legitimately sample the prior's first row/col through the
+    reference's pixel-coords quirk)."""
+    from sln_amodal_tpu.models.sln import SLNAmodal
+
+    cfg, model, params = model_and_params
+    assert cfg.glm_prior_pixel_coords_at_inference
+    images = jnp.asarray(np.random.RandomState(7).randn(1, 128, 128, 3), jnp.float32)
+    windows = jnp.asarray([[0, 0, 128, 128]], jnp.float32)
+    full = jax.jit(lambda p, x, w: model.apply(p, x, w))(params, images, windows)
+    fast = jax.jit(
+        lambda p, x, w: model.apply(p, x, w, method=SLNAmodal.infer_detect_only)
+    )(params, images, windows)
+    np.testing.assert_array_equal(np.asarray(full.detections), np.asarray(fast.detections))
+    np.testing.assert_array_equal(np.asarray(full.det_valid), np.asarray(fast.det_valid))
+    np.testing.assert_allclose(
+        np.asarray(full.masks), np.asarray(fast.masks), rtol=0, atol=0
+    )
+
+    elide_model = SLNAmodal(cfg.replace(glm_elide_at_inference=True))
+    elided = jax.jit(
+        lambda p, x, w: elide_model.apply(
+            p, x, w, method=SLNAmodal.infer_detect_only
+        )
+    )(params, images, windows)
+    np.testing.assert_array_equal(
+        np.asarray(full.detections), np.asarray(elided.detections)
+    )
+    det = np.asarray(full.detections[0])
+    interior = (det[:, 0] > 1.5) & (det[:, 1] > 1.5)
+    assert interior.any()
+    # literal-zero vs computed-zero GLM crops change XLA fusion order in the
+    # mask convs — float-noise tolerance, not a semantic difference
+    np.testing.assert_allclose(
+        np.asarray(full.masks[0])[interior],
+        np.asarray(elided.masks[0])[interior],
+        atol=1e-5,
+    )
 
 
 def test_param_count_plausible(model_and_params):
