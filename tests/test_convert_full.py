@@ -108,6 +108,7 @@ def build_reference_state_dict(num_classes=2):
     return sd
 
 
+@pytest.mark.slow
 def test_full_checkpoint_converts_to_init_tree():
     sd = build_reference_state_dict()
     tree = convert_full_checkpoint(sd)

@@ -1,0 +1,162 @@
+"""End-to-end AP regression: detector → build_coco_results → AmodalEval →
+12-way sweep on a fixed synthetic dataset with a deterministic biased
+checkpoint, pinned golden stats (VERDICT round-1 item #3).
+
+The biased checkpoint (the verify-skill recipe) makes the pipeline produce
+real detections without training: zeroed RPN/classifier bbox heads make the
+detections exactly the top surviving anchors, a +8 foreground class bias
+marks them all foreground, and a +5 bias on the mask layer channels makes
+every predicted mask the full detection box. Box IoU against the rectangular
+synthetic GT then yields nonzero AP through the entire composed eval stack
+(SURVEY.md §3.2 call stack).
+
+Any drift anywhere in model graph → unmold → RLE encode → evaluator →
+sweep changes the pinned numbers.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sln_amodal_tpu.config import Config
+from sln_amodal_tpu.data.dataset import AmodalDataset, DetectionResults
+from sln_amodal_tpu.eval_amodal.amodal_eval import AmodalEval, evaluate_sweep
+from sln_amodal_tpu.eval_amodal.coco_results import build_coco_results
+from sln_amodal_tpu.infer import Detector
+from sln_amodal_tpu.models.sln import init_params
+
+from fixtures import make_synthetic_dataset
+
+pytestmark = pytest.mark.slow
+
+
+def tiny_config():
+    return Config(
+        image_size=64,
+        glm_input_size=33,
+        pre_nms_limit=512,
+        post_nms_rois_inference=256,
+        post_nms_rois_training=20,
+        train_rois_per_image=8,
+        detection_max_instances=100,
+        max_gt_instances=8,
+        compute_dtype="float32",
+        name="cocoa",
+    )
+
+
+def biased_variables(config):
+    variables = init_params(config, jax.random.PRNGKey(0))
+    p = variables["params"]
+
+    def zero(tree, *keys):
+        node = tree
+        for k in keys[:-1]:
+            node = node[k]
+        node[keys[-1]] = jax.tree_util.tree_map(np.zeros_like, node[keys[-1]])
+
+    zero(p, "rpn", "conv_bbox")
+    zero(p, "classifier", "linear_bbox")
+    # equal foreground scores for every anchor -> deterministic, stable
+    # proposal order; NMS then tiles the image with kept anchors
+    zero(p, "rpn", "conv_class")
+    rpn_bias = np.zeros_like(p["rpn"]["conv_class"]["bias"])
+    rpn_bias[1::2] = 1.0  # (bg, fg) channel pairs, anchor-major
+    p["rpn"]["conv_class"]["bias"] = rpn_bias
+    cls_bias = np.zeros_like(p["classifier"]["linear_class"]["bias"])
+    cls_bias[1] = 8.0
+    p["classifier"]["linear_class"]["bias"] = cls_bias
+    # Deterministic dithered masks. The unmold path reproduces the
+    # reference's scipy.misc.imresize bytescale quirk (utils.py:458-459):
+    # a CONSTANT mask rescales to all-zeros, so a flat logit bias can't
+    # produce masks. Instead: constant conv4 output (zero kernel, bias 1,
+    # identity frozen-BN at init) -> per-tap deconv kernel values make a
+    # fixed 2x2 dither (one low tap in four) -> conv5 maps it to layer
+    # logits {5, 10}. After bytescale+threshold the mask is the 75%-coverage
+    # dither of the detection box — deterministic and parity-faithful.
+    zero(p, "mask", "conv4")
+    p["mask"]["conv4"]["bias"] = np.ones_like(
+        np.asarray(p["mask"]["conv4"]["bias"]))
+    dk = np.zeros_like(np.asarray(p["mask"]["deconv"]["kernel"]))
+    dk[:, :, 0, :] = 1.0
+    dk[0, 0, 0, :] = 0.5
+    p["mask"]["deconv"]["kernel"] = dk
+    p["mask"]["deconv"]["bias"] = np.zeros_like(
+        np.asarray(p["mask"]["deconv"]["bias"]))
+    zero(p, "mask", "conv5")
+    ck = np.zeros_like(np.asarray(p["mask"]["conv5"]["kernel"]))
+    ck[0, 0, 0, 1:] = 10.0
+    p["mask"]["conv5"]["kernel"] = ck
+    return variables
+
+
+@pytest.fixture(scope="module")
+def sweep_stats(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    make_synthetic_dataset(str(root), n_images=4, size=64, subset="val")
+    dataset = AmodalDataset()
+    coco = dataset.load_amodal(str(root), "val")
+    dataset.prepare()
+
+    config = tiny_config()
+    detector = Detector(config, biased_variables(config))
+
+    results = []
+    for image_id in dataset.image_ids:
+        image = dataset.load_image(int(image_id))
+        r = detector.detect([image])[0]
+        results.extend(
+            build_coco_results(
+                dataset.image_info[int(image_id)]["id"],
+                r["rois"], r["class_ids"], r["scores"], r["masks"],
+            )
+        )
+    assert results, "biased checkpoint must produce detections"
+
+    dt = DetectionResults(results)
+    ev = AmodalEval(coco, dt)
+    ev.params.img_ids = [dataset.image_info[int(i)]["id"] for i in dataset.image_ids]
+    return evaluate_sweep(ev, verbose=False)
+
+
+# Golden stats, frozen from the first verified run (regenerate by running
+# `pytest tests/test_e2e_ap_regression.py -s` and copying the printed table
+# if an INTENDED pipeline change shifts them). All detections share score
+# 1.0 (the biased checkpoint), so precision is diluted across the 100-det
+# table and AP is small but nonzero; AR@100 is the robust signal.
+_GOLDEN_STATS = {
+    "both/all": [0.00185, 0.005852, 0.002018, 0.0, 0.0, 0.2],
+    "both/heavy": [0.003672, 0.011593, 0.003984, 0.0, 0.0, 0.4],
+    "both/none": [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    "both/partial": [0.003672, 0.011593, 0.003984, 0.0, 0.0, 0.4],
+    "stuff/all": [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0],
+    "stuff/heavy": [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0],
+    "stuff/none": [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0],
+    "stuff/partial": [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0],
+    "things/all": [0.00185, 0.005852, 0.002018, 0.0, 0.0, 0.2],
+    "things/heavy": [0.003672, 0.011593, 0.003984, 0.0, 0.0, 0.4],
+    "things/none": [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    "things/partial": [0.003672, 0.011593, 0.003984, 0.0, 0.0, 0.4],
+}
+
+
+def test_sweep_has_nonzero_ap(sweep_stats):
+    assert sweep_stats["both/all"][1] > 0.002, sweep_stats["both/all"]
+    assert sweep_stats["both/all"][5] >= 0.2, sweep_stats["both/all"]
+    # all 12 slices present, each a 6-vector
+    assert len(sweep_stats) == 12
+    for key, stats in sweep_stats.items():
+        assert stats.shape == (6,), key
+
+
+def test_sweep_matches_golden(sweep_stats):
+    for key, stats in sorted(sweep_stats.items()):
+        print(f'    "{key}": {np.round(stats, 6).tolist()},')
+    golden = _GOLDEN_STATS
+    assert set(golden) == set(sweep_stats)
+    for key in golden:
+        np.testing.assert_allclose(
+            sweep_stats[key], golden[key], atol=1e-5,
+            err_msg=f"AP drift on slice {key}",
+        )

@@ -20,6 +20,7 @@ def test_nms_dispatch():
     assert _nms_dispatch("auto") is nms_sorted
 
 
+@pytest.mark.slow
 def test_refine_head_train_outputs():
     cfg = Config(
         image_size=64,

@@ -22,6 +22,7 @@ def tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_roi_sampling_deterministic_per_seed():
     from sln_amodal_tpu.detect.targets import detection_target_layer
 

@@ -1,6 +1,7 @@
 """Regression tests for code-review findings."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -33,6 +34,7 @@ def test_all_gt_boxes_degenerate():
     assert np.isfinite(deltas).all()
 
 
+@pytest.mark.slow
 def test_sticky_freeze_masks_shrink():
     from sln_amodal_tpu.models.sln import init_params
 

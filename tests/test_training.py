@@ -83,6 +83,7 @@ def test_loader_batches(synth_dataset):
     assert batch["rpn_match"].shape[0] == 2
 
 
+@pytest.mark.slow
 def test_trainable_masks():
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0))
@@ -107,6 +108,7 @@ def test_trainable_masks():
             assert any("frozen_bn" in p for p in false_paths)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_updates(synth_dataset):
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0))
@@ -131,6 +133,7 @@ def test_train_step_runs_and_updates(synth_dataset):
     np.testing.assert_array_equal(glm_before, np.asarray(glm_after))
 
 
+@pytest.mark.slow
 def test_stage_transition_carries_params(synth_dataset):
     """Two consecutive stages: params flow across optimizer rebuilds and the
     second stage unfreezes more of the tree."""
@@ -156,6 +159,7 @@ def test_stage_transition_carries_params(synth_dataset):
     assert not np.allclose(backbone_before, after_4p)  # trains in 4+
 
 
+@pytest.mark.slow
 def test_validate_loop(synth_dataset):
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0))
@@ -166,6 +170,7 @@ def test_validate_loop(synth_dataset):
     assert set(losses) >= {"rpn_class", "rpn_bbox", "total"}
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_config()
     params = init_params(cfg, jax.random.PRNGKey(0))
