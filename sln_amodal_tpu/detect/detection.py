@@ -62,8 +62,9 @@ def refine_detections(
     class_scores = probs[idx, class_ids]
     deltas_specific = deltas[idx, class_ids]
 
-    std = jnp.asarray(bbox_std_dev, jnp.float32)
-    refined = apply_box_deltas(rois.astype(jnp.float32), deltas_specific * std[None])
+    dt = jnp.promote_types(rois.dtype, jnp.float32)
+    std = jnp.asarray(bbox_std_dev, dt)
+    refined = apply_box_deltas(rois.astype(dt), deltas_specific.astype(dt) * std[None])
     refined = refined * float(image_size)
 
     refined = jnp.round(clip_boxes(refined, window))

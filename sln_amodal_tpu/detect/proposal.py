@@ -53,15 +53,18 @@ def proposal_layer(
         valid: [proposal_count] bool.
     """
     scores = rpn_probs[:, 1]
-    std = jnp.asarray(rpn_bbox_std_dev, jnp.float32)
-    deltas = rpn_deltas.astype(jnp.float32) * std[None, :]
+    # box math in at-least-f32 (f64 under x64 parity testing; bf16 inputs
+    # are promoted so coordinates never round through bf16)
+    dt = jnp.promote_types(rpn_deltas.dtype, jnp.float32)
+    std = jnp.asarray(rpn_bbox_std_dev, dt)
+    deltas = rpn_deltas.astype(dt) * std[None, :]
 
     k = min(pre_nms_limit, anchors.shape[0])
     top_scores, order = jax.lax.top_k(scores, k)
     deltas = deltas[order]
     top_anchors = anchors[order]
 
-    boxes = apply_box_deltas(top_anchors.astype(jnp.float32), deltas)
+    boxes = apply_box_deltas(top_anchors.astype(dt), deltas)
     boxes = clip_boxes(boxes, (0.0, 0.0, float(image_size), float(image_size)))
 
     keep, keep_valid = _nms_dispatch(nms_impl)(

@@ -125,8 +125,8 @@ def _resize_matrix(n_in: int, n_out: int):
     src = np.maximum((i + 0.5) * scale - 0.5, 0.0)
     i0 = np.minimum(np.floor(src).astype(np.int64), n_in - 1)
     i1 = np.minimum(i0 + 1, n_in - 1)
-    w = (src - i0).astype(np.float32)
-    mat = np.zeros((n_out, n_in), np.float32)
+    w = src - i0
+    mat = np.zeros((n_out, n_in), np.float64)
     mat[i, i0] += 1.0 - w
     mat[i, i1] += w
     return mat
@@ -146,11 +146,17 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     h, w = x.shape[1:3]
     oh, ow = size
     dtype = x.dtype
-    y = x.astype(jnp.float32)
+    # f32 interpolation everywhere except f64 inputs (x64 parity testing)
+    cdtype = jnp.float64 if x.dtype == jnp.dtype("float64") else jnp.float32
+    y = x.astype(cdtype)
     if oh != h:
-        y = jnp.einsum("oh,bhwc->bowc", jnp.asarray(_resize_matrix(h, oh)), y)
+        y = jnp.einsum(
+            "oh,bhwc->bowc", jnp.asarray(_resize_matrix(h, oh), cdtype), y
+        )
     if ow != w:
-        y = jnp.einsum("pw,bhwc->bhpc", jnp.asarray(_resize_matrix(w, ow)), y)
+        y = jnp.einsum(
+            "pw,bhwc->bhpc", jnp.asarray(_resize_matrix(w, ow), cdtype), y
+        )
     return y.astype(dtype)
 
 

@@ -88,7 +88,12 @@ class SLNAmodal(nn.Module):
                                 dtype=dtype)
         if cfg.use_refine_head:
             self.amodal_refine = RefineHead(cfg.num_classes, dtype=dtype)
-        self._anchors = jnp.asarray(config_anchors(cfg))
+        # anchors carry the pipeline's f32-rounded values; staging through
+        # float64 lets x64 mode keep full precision while the default f32
+        # mode is unchanged (jnp downcasts to f32 when x64 is off)
+        self._anchors = jnp.asarray(
+            np.asarray(config_anchors(cfg), np.float64)
+        )
 
     # ------------------------------------------------------------- pieces --
 
@@ -143,6 +148,11 @@ class SLNAmodal(nn.Module):
                 nms_impl=cfg.nms_impl,
             )
 
+        if rpn_probs.shape[0] == 1:
+            # batch-1: vmap's batching rules cost ~2x on the top-k/NMS
+            # pipeline (measured 4.5 vs 2.3 ms on v5e) — call directly
+            rois, valid = one(rpn_probs[0], rpn_deltas[0])
+            return rois[None], valid[None]
         return jax.vmap(one)(rpn_probs, rpn_deltas)
 
     def _classifier_on(self, feats_per_image, rois):

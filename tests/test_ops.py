@@ -46,7 +46,7 @@ def np_crop_and_resize(image, bxs, box_ind, crop_size, extrapolation_value=0.0):
     n = len(bxs)
     _, H, W, C = image.shape
     ch, cw = crop_size
-    out = np.zeros((n, ch, cw, C), np.float32)
+    out = np.zeros((n, ch, cw, C), image.dtype)
     for bi in range(n):
         y1, x1, y2, x2 = bxs[bi]
         img = image[box_ind[bi]]
