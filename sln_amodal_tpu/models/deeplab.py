@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .common import FrozenBatchNorm, max_pool_torch, resize_bilinear
@@ -92,27 +93,75 @@ class DLResLayer(nn.Module):
         return x
 
 
+class _ConvParams(nn.Module):
+    """Parameter container with nn.Conv's exact tree ({kernel, bias}), layout
+    ([kh, kw, in, out]) and initializers — the compute happens in the fused
+    ASPP formulation below, not through nn.Conv's dilated-conv lowering."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.cin, self.cout), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.cout,), jnp.float32)
+        return k, b
+
+
 class ASPP(nn.Module):
+    """Sum of four 3x3 atrous convs at rates 6/12/18/24 (bias=True), the
+    reference's ``_ASPP`` head (``resnet_deeplab.py``).
+
+    TPU-native formulation: XLA's dilated-conv lowering is the single
+    hottest op of the whole GLM (7.2 ms for [1,65,65,2048]->182 bf16 on
+    v5e — ~74% of the 513² base forward). Instead, all 4x9 kernel taps are
+    evaluated as ONE [HW, Cin] x [Cin, 36*Cout] matmul (ideal MXU shape),
+    and each tap's plane is then shifted into place by its static atrous
+    offset and accumulated in f32 — zero contributions outside the frame
+    reproduce torch Conv2d zero padding exactly. Differs from the conv
+    lowering only in floating-point summation order.
+    """
+
     n_classes: int
     rates: Sequence[int] = (6, 12, 18, 24)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        outs = []
-        for i, rate in enumerate(self.rates):
-            outs.append(
-                nn.Conv(
-                    self.n_classes,
-                    (3, 3),
-                    padding=[(rate, rate)] * 2,
-                    kernel_dilation=(rate, rate),
-                    use_bias=True,
-                    dtype=self.dtype,
-                    name=f"c{i}",
-                )(x)
+        cin, cout = x.shape[-1], self.n_classes
+        b, h, w = x.shape[:3]
+        # accumulate in f32 (or f64 under x64 parity testing)
+        acc_t = jnp.promote_types(jnp.float32, self.dtype)
+        taps = []      # ([Cin, Cout] f32 kernel plane, (dy, dx)) per tap
+        bias_sum = jnp.zeros((cout,), acc_t)
+        for i, r in enumerate(self.rates):
+            k, bi = _ConvParams(cin, cout, name=f"c{i}")()
+            bias_sum = bias_sum + bi.astype(acc_t)
+            for u in range(3):
+                for v in range(3):
+                    taps.append((k[u, v], ((u - 1) * r, (v - 1) * r)))
+
+        w_all = jnp.stack([k for k, _ in taps], axis=1)      # [Cin, T, Cout]
+        w_all = w_all.reshape(cin, -1).astype(self.dtype)    # [Cin, T*Cout]
+        y = jnp.einsum("bhwi,io->bhwo", x.astype(self.dtype), w_all)
+        y = y.reshape(b, h, w, len(taps), cout)
+
+        # out[i,j] = sum_t y[i+dy_t, j+dx_t, t] with zeros outside the frame
+        acc = jnp.broadcast_to(bias_sum, (b, h, w, cout))
+        for t, (_, (dy, dx)) in enumerate(taps):
+            i0, i1 = max(0, -dy), min(h, h - dy)
+            j0, j1 = max(0, -dx), min(w, w - dx)
+            if i0 >= i1 or j0 >= j1:
+                continue  # tap reads entirely outside the frame (tiny grids)
+            sl = y[:, i0 + dy:i1 + dy, j0 + dx:j1 + dx, t, :].astype(acc_t)
+            acc = acc + jax.lax.pad(
+                sl, jnp.zeros((), acc_t),
+                [(0, 0, 0), (i0, h - i1, 0), (j0, w - j1, 0), (0, 0, 0)],
             )
-        return sum(outs)
+        return acc.astype(self.dtype)
 
 
 class DeepLabV2(nn.Module):

@@ -111,7 +111,13 @@ class SLNAmodal(nn.Module):
         it)."""
         cfg = self.config
         h, w = images.shape[1:3]
-        glm_in = resize_bilinear(images, (cfg.glm_input_size, cfg.glm_input_size))
+        # cast to the compute dtype BEFORE the resize: the GLM consumes the
+        # result in that dtype anyway, and a bf16 resize runs on the MXU
+        # (no-op for f32/f64 parity modes)
+        glm_in = resize_bilinear(
+            images.astype(jnp.dtype(cfg.compute_dtype)),
+            (cfg.glm_input_size, cfg.glm_input_size),
+        )
         logits = self.glm(glm_in)                      # [B, g, g, 182] f32
         logits = jax.lax.stop_gradient(logits)
         probs = jax.nn.softmax(logits, axis=-1)
