@@ -74,3 +74,82 @@ loop_time("glm prior (MSC 1+0.5+0.75)", lambda v, x: scalar(
 
 loop_time("resnet101-fpn", lambda v, x: scalar(
     model.apply(v, x, method=lambda m, im: m.fpn(im))))
+
+# ---- per-stage breakdown of the detect path (round 2) ---------------------
+# Each stage loops on ITS OWN precomputed inputs so the stage cost is
+# isolated; inputs come from one non-timed forward.
+
+print("\n-- detect-path stage breakdown --", flush=True)
+
+feats = model.apply(variables, images, method=lambda m, im: m.fpn(im))
+p2, p3, p4, p5, p6 = feats
+rpn_out = model.apply(
+    variables, feats,
+    method=lambda m, f: m._rpn_all_levels(tuple(f)))
+_, rpn_probs, rpn_deltas = rpn_out
+rois, roi_valid = model.apply(
+    variables, rpn_probs, rpn_deltas,
+    method=lambda m, p, d: m._proposals(p, d, config.post_nms_rois_inference))
+
+
+def loop_on(name, step, x0):
+    @jax.jit
+    def run(x, v):
+        def body(_, xc):
+            out = step(v, xc)
+            dep = sum(jnp.sum(t).astype(jnp.float32)
+                      for t in jax.tree_util.tree_leaves(out))
+            return jax.tree_util.tree_map(
+                lambda a: a + dep.astype(a.dtype) * 0.0
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, xc)
+        return jax.tree_util.tree_leaves(lax.fori_loop(0, N, body, x0))[0].sum()
+
+    float(run(x0, variables))
+    t0 = time.perf_counter()
+    float(run(x0, variables))
+    dt = (time.perf_counter() - t0) / N
+    print(f"{name:34s} {dt * 1e3:8.2f} ms/iter", flush=True)
+
+
+loop_on("fpn backbone (1024^2)", lambda v, x: model.apply(
+    v, x, method=lambda m, im: m.fpn(im)), images)
+loop_on("rpn heads (P2..P6)", lambda v, f: model.apply(
+    v, f, method=lambda m, ff: m._rpn_all_levels(tuple(ff))), feats)
+loop_on("proposal layer (topk+nms->1000)", lambda v, pd: model.apply(
+    v, pd[0], pd[1],
+    method=lambda m, p, d: m._proposals(p, d, config.post_nms_rois_inference)),
+    (rpn_probs, rpn_deltas))
+loop_on("classifier (roialign 1000 + head)", lambda v, r: model.apply(
+    v, tuple(feats[:4]), r,
+    method=lambda m, ff, rr: m._classifier_on(ff, rr)), rois)
+
+_, cls_probs, cls_deltas = model.apply(
+    variables, tuple(feats[:4]), rois,
+    method=lambda m, ff, rr: m._classifier_on(ff, rr))
+
+from sln_amodal_tpu.detect.detection import refine_detections  # noqa: E402
+
+
+def refine_batch(v, inp):
+    rr, vv, pp, dd = inp
+    def one(rois_i, valid_i, probs_i, deltas_i):
+        return refine_detections(
+            rois_i, valid_i, probs_i, deltas_i,
+            (0.0, 0.0, float(s), float(s)),
+            image_size=config.image_size,
+            bbox_std_dev=config.rpn_bbox_std_dev,
+            max_instances=config.detection_max_instances,
+            min_confidence=config.detection_min_confidence,
+            use_nms=config.use_nms,
+            nms_threshold=config.detection_nms_threshold)
+    return jax.vmap(one)(rr, vv, pp, dd)
+
+
+loop_on("detection refine (top-100)", refine_batch,
+        (rois, roi_valid, cls_probs, cls_deltas))
+
+dets = refine_batch(variables, (rois, roi_valid, cls_probs, cls_deltas))[0]
+det_boxes = jnp.clip(dets[..., :4], 0.0, float(s)) / float(s)
+loop_on("mask head (100 rois, zero prior)", lambda v, bx: model.apply(
+    v, tuple(feats[:4]), bx, None, bx,
+    method=lambda m, ff, b1, gp, b2: m._mask_on(ff, b1, gp, b2)), det_boxes)

@@ -45,6 +45,93 @@ class FrozenBatchNorm(nn.Module):
         return x * scale + shift
 
 
+class ConvParams(nn.Module):
+    """Parameter container with nn.Conv's exact tree ({kernel[, bias]}),
+    layout ([kh, kw, in, out]) and initializers — for layers whose compute
+    is reformulated away from XLA's conv lowering (matmul forms below) while
+    converted torch checkpoints keep loading unchanged."""
+
+    kh: int
+    kw: int
+    cin: int
+    cout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kh, self.kw, self.cin, self.cout), jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.cout,), jnp.float32)
+            if self.use_bias else None
+        )
+        return k, b
+
+
+class FullKernelConv(nn.Module):
+    """``nn.Conv(features, (p, p), padding='VALID')`` applied to a p×p input
+    — i.e. the kernel covers the whole input — is one [N, p·p·Cin] x
+    [p·p·Cin, features] matmul. XLA's conv lowering runs this shape at
+    ~10 TFLOP/s on v5e (the classifier head's k=7 conv); the explicit matmul
+    form hits the MXU. Bit-compatible param tree with nn.Conv."""
+
+    features: int
+    kernel: Tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, cin = x.shape
+        kh, kw = self.kernel
+        assert (h, w) == (kh, kw), (x.shape, self.kernel)
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        # flatten order (kh, kw, cin) matches NHWC x HWIO im2col exactly
+        y = x.reshape(n, kh * kw * cin).astype(self.dtype) @ (
+            k.reshape(kh * kw * cin, self.features).astype(self.dtype)
+        )
+        y = y + b.astype(self.dtype)
+        return y.reshape(n, 1, 1, self.features)
+
+
+class DepthToSpaceDeconv(nn.Module):
+    """``nn.ConvTranspose(features, (2, 2), strides=(2, 2), 'VALID')`` as a
+    pointwise matmul + depth-to-space: out[2i+u, 2j+v] = x[i,j] @ K[u,v]
+    (non-overlapping stride-2 taps). Avoids XLA's input-dilated
+    conv-transpose lowering in the mask head; identical param tree and
+    numerics (pinned by tests/test_matmul_layers.py)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, cin = x.shape
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (2, 2, cin, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        # flax ConvTranspose applies the kernel spatially FLIPPED; then
+        # [2,2,cin,out] -> [cin, 2*2*out] so one matmul emits all 4 subpixels
+        kmat = jnp.transpose(k[::-1, ::-1], (2, 0, 1, 3)).reshape(
+            cin, 4 * self.features
+        )
+        y = x.astype(self.dtype) @ kmat.astype(self.dtype)   # [n,h,w,4*out]
+        y = y.reshape(n, h, w, 2, 2, self.features)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+            n, 2 * h, 2 * w, self.features
+        )
+        return y + b.astype(self.dtype)
+
+
 def same_pad_amounts(size: int, kernel: int, stride: int) -> Tuple[int, int]:
     """TF-'SAME' pad (before, after) for one spatial dim — the rule the
     reference's SamePad2d implements (modals.py:168-181)."""

@@ -22,7 +22,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import FrozenBatchNorm, max_pool_torch, resize_bilinear
+from .common import (
+    ConvParams,
+    FrozenBatchNorm,
+    max_pool_torch,
+    resize_bilinear,
+)
 
 
 class ConvBN(nn.Module):
@@ -93,24 +98,6 @@ class DLResLayer(nn.Module):
         return x
 
 
-class _ConvParams(nn.Module):
-    """Parameter container with nn.Conv's exact tree ({kernel, bias}), layout
-    ([kh, kw, in, out]) and initializers — the compute happens in the fused
-    ASPP formulation below, not through nn.Conv's dilated-conv lowering."""
-
-    cin: int
-    cout: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (3, 3, self.cin, self.cout), jnp.float32,
-        )
-        b = self.param("bias", nn.initializers.zeros, (self.cout,), jnp.float32)
-        return k, b
-
-
 class ASPP(nn.Module):
     """Sum of four 3x3 atrous convs at rates 6/12/18/24 (bias=True), the
     reference's ``_ASPP`` head (``resnet_deeplab.py``).
@@ -138,7 +125,7 @@ class ASPP(nn.Module):
         taps = []      # ([Cin, Cout] f32 kernel plane, (dy, dx)) per tap
         bias_sum = jnp.zeros((cout,), acc_t)
         for i, r in enumerate(self.rates):
-            k, bi = _ConvParams(cin, cout, name=f"c{i}")()
+            k, bi = ConvParams(3, 3, cin, cout, name=f"c{i}")()
             bias_sum = bias_sum + bi.astype(acc_t)
             for u in range(3):
                 for v in range(3):

@@ -19,7 +19,12 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import FrozenBatchNorm
+from .common import (
+    ConvParams,
+    DepthToSpaceDeconv,
+    FrozenBatchNorm,
+    FullKernelConv,
+)
 
 
 class RPNHead(nn.Module):
@@ -42,20 +47,22 @@ class RPNHead(nn.Module):
         )(x)
         shared = nn.relu(shared)
 
-        logits = nn.Conv(
-            2 * self.anchors_per_location, (1, 1), padding="VALID",
-            dtype=self.dtype, name="conv_class",
-        )(shared)
+        # The class/bbox 1x1 convs have tiny output widths (2A=6 / 4A=12)
+        # that each pad to a 128-lane register tile; fusing them into ONE
+        # matmul reads the 512-ch shared map once instead of twice. Params
+        # keep nn.Conv's tree (ConvParams) so checkpoints load unchanged.
+        a = self.anchors_per_location
+        kc, bc = ConvParams(1, 1, 512, 2 * a, name="conv_class")()
+        kb, bb = ConvParams(1, 1, 512, 4 * a, name="conv_bbox")()
+        w_cat = jnp.concatenate([kc[0, 0], kb[0, 0]], axis=-1)   # [512, 6a]
+        b_cat = jnp.concatenate([bc, bb])
+        out = shared @ w_cat.astype(shared.dtype) + b_cat.astype(shared.dtype)
+
         # [B, H, W, A*2] -> [B, H*W*A, 2]: anchor-major pairs, matching both
         # the reference reshape (modals.py:396-398) and anchor generation order.
-        logits = logits.reshape(b, -1, 2)
+        logits = out[..., : 2 * a].reshape(b, -1, 2)
         probs = nn.softmax(logits.astype(jnp.float32), axis=-1)
-
-        deltas = nn.Conv(
-            4 * self.anchors_per_location, (1, 1), padding="VALID",
-            dtype=self.dtype, name="conv_bbox",
-        )(shared)
-        deltas = deltas.reshape(b, -1, 4)
+        deltas = out[..., 2 * a:].reshape(b, -1, 4)
         return logits, probs, deltas
 
 
@@ -74,9 +81,11 @@ class ClassifierHead(nn.Module):
     def __call__(self, x: jnp.ndarray):
         n = x.shape[0]
         x = x.astype(self.dtype)
-        y = nn.Conv(
-            1024, (self.pool_size, self.pool_size), padding="VALID",
-            dtype=self.dtype, name="conv1",
+        # k = pool_size VALID on a pool_size input == one matmul (the conv
+        # lowering measured ~10 TFLOP/s here; the matmul form hits the MXU)
+        y = FullKernelConv(
+            1024, (self.pool_size, self.pool_size), dtype=self.dtype,
+            name="conv1",
         )(x)
         y = FrozenBatchNorm(name="frozen_bn1")(y)
         y = nn.relu(y)
@@ -110,8 +119,7 @@ class RefineHead(nn.Module):
                         name=f"conv{i}")(x)
             x = FrozenBatchNorm(name=f"frozen_bn{i}")(x)
             x = nn.relu(x)
-        x = nn.ConvTranspose(256, (2, 2), strides=(2, 2), padding="VALID",
-                             dtype=self.dtype, name="deconv")(x)
+        x = DepthToSpaceDeconv(256, dtype=self.dtype, name="deconv")(x)
         x = nn.relu(x)
         x = nn.Conv(self.num_classes, (1, 1), padding="VALID", dtype=self.dtype,
                     name="conv5")(x)
@@ -141,10 +149,7 @@ class MaskHead(nn.Module):
             x = FrozenBatchNorm(name=f"frozen_bn{i}")(x)
             x = nn.relu(x)
         feat = x
-        x = nn.ConvTranspose(
-            256, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype,
-            name="deconv",
-        )(x)
+        x = DepthToSpaceDeconv(256, dtype=self.dtype, name="deconv")(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.num_classes, (1, 1), padding="VALID", dtype=self.dtype, name="conv5"
