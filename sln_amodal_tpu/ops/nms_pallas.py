@@ -5,8 +5,11 @@ score-sorted boxes, legacy +1 IoU, suppress at ``iou > thr``) but restructured
 for the TPU vector unit instead of a 1000-step scalar loop:
 
 - boxes are processed in tiles of 128 (the VPU lane width);
-- a tile is first suppressed by the *surviving* boxes of all previous tiles
-  (one [128, 128] IoU matrix per pair — pure VPU work);
+- a tile is first suppressed by the *surviving* boxes of all previous tiles,
+  evaluated in 2048-row blocks ([2048, 128] IoU per block, rows masked to
+  finalized tiles) — block-granular passes, because sequential loop-body
+  overhead, not VPU math, dominates this kernel (3.2 ms as a per-tile-pair
+  loop vs 1.3 ms blocked, measured on v5e at 6000 boxes);
 - within a tile, survivors are resolved by iterating the suppression
   fixpoint ``x[j] = init[j] & ~any_{i<j}(iou[i,j] > t & x[i])``. The
   dependency graph is a DAG (strict index order), so the fixpoint is unique
@@ -49,8 +52,8 @@ def _iou_tile(a: jnp.ndarray, b: jnp.ndarray, plus_one: bool) -> jnp.ndarray:
     return inter / jnp.where(union != 0, union, 1.0)
 
 
-def _nms_kernel(boxes_ref, valid_ref, alive_ref, *, iou_threshold: float,
-                plus_one: bool, suppress_at_equal: bool):
+def _nms_kernel(boxes_ref, valid_ref, alive_ref, alive_col_ref, *,
+                iou_threshold: float, plus_one: bool, suppress_at_equal: bool):
     n = boxes_ref.shape[0]
     num_tiles = n // TILE
     thr = jnp.float32(iou_threshold)
@@ -63,26 +66,41 @@ def _nms_kernel(boxes_ref, valid_ref, alive_ref, *, iou_threshold: float,
     col = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
     strict_upper = row < col
 
+    # Cross-tile suppression runs in CROSS-row blocks: one [CROSS, T] VPU
+    # pass per block instead of the O(num_tiles) loop of [T, T] passes per
+    # tile — the old kernel's 3.2 ms was loop-iteration overhead (~1100
+    # sequential bodies), not VPU math. CROSS is sized so the fused IoU
+    # temporaries (~8 live [CROSS, T] f32 arrays) stay within the 16 MB
+    # VMEM scoped limit (a full [n, T] pass OOMs at n=6016).
+    cross = min(n, 16 * TILE)
+    num_cross = (n + cross - 1) // cross
+    chunk_row = jax.lax.broadcasted_iota(jnp.int32, (cross, TILE), 0)
+
     alive_ref[:, :] = valid_ref[:, :]
 
     def tile_body(k, _):
         tb = boxes_ref[pl.ds(k * TILE, TILE), :]
         init = alive_ref[pl.ds(k, 1), :][0]  # [T] f32 0/1
 
-        # --- cross-tile suppression by earlier survivors ---
-        def cross(j, sup):
-            pb = boxes_ref[pl.ds(j * TILE, TILE), :]
-            pa = alive_ref[pl.ds(j, 1), :][0]
-            iou = _iou_tile(pb, tb, plus_one)            # [T_prev, T_cur]
-            s = jnp.max(
-                jnp.where(hit(iou), pa[:, None], 0.0), axis=0
+        # alive_col rows >= k*TILE are stale; the row mask zeroes them out.
+        # fori_loop (not unroll): one block's fused IoU temporaries live at
+        # a time, keeping the VMEM stack under the 16 MB scoped limit.
+        def cross_body(c, sup):
+            cb = boxes_ref[pl.ds(c * cross, cross), :]
+            ca = alive_col_ref[pl.ds(c * cross, cross), :]
+            iou_c = _iou_tile(cb, tb, plus_one)               # [CROSS, T]
+            prev = hit(iou_c) & (chunk_row + c * cross < k * TILE)
+            return jnp.maximum(
+                sup, jnp.max(jnp.where(prev, ca, 0.0), axis=0)
             )
-            return jnp.maximum(sup, s)
 
-        sup = jax.lax.fori_loop(0, k, cross, jnp.zeros((TILE,), jnp.float32))
-        init = init * (1.0 - sup)
+        sup = jax.lax.fori_loop(
+            0, num_cross, cross_body, jnp.zeros((TILE,), jnp.float32)
+        )
+        init = init * (1.0 - jnp.minimum(sup, 1.0))
 
         # --- within-tile fixpoint (unique on the strict-order DAG) ---
+        # (recomputed [T, T] — Mosaic has no dynamic_slice on values)
         iou_tt = _iou_tile(tb, tb, plus_one)
         mask = jnp.where(hit(iou_tt) & strict_upper, 1.0, 0.0)  # [T, T]
 
@@ -98,6 +116,7 @@ def _nms_kernel(boxes_ref, valid_ref, alive_ref, *, iou_threshold: float,
 
         x, _ = jax.lax.while_loop(fix_cond, fix_body, (init, jnp.bool_(True)))
         alive_ref[pl.ds(k, 1), :] = x[None, :]
+        alive_col_ref[pl.ds(k * TILE, TILE), :] = x[:, None]
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
@@ -121,6 +140,10 @@ def nms_sorted_pallas(
     """Drop-in replacement for :func:`ops.nms.nms_sorted` (same contract)."""
     n = boxes.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
+    if n_pad > 16 * TILE:
+        # pad to a whole number of cross-suppression blocks (see kernel);
+        # padded rows have valid=0 and never affect survivors
+        n_pad = ((n_pad + 16 * TILE - 1) // (16 * TILE)) * (16 * TILE)
     boxes_p = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(boxes.astype(jnp.float32))
     valid_p = (
         jnp.zeros((n_pad // TILE, TILE), jnp.float32)
@@ -143,6 +166,7 @@ def nms_sorted_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_pad, 1), jnp.float32)],
         interpret=interpret,
     )(boxes_p, valid_p)
 
