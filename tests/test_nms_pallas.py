@@ -52,3 +52,16 @@ def test_pallas_dense_cluster_chains():
     k_ref, v_ref = nms_sorted(jnp.asarray(b), valid, 256, 0.5)
     k_pal, v_pal = nms_sorted_pallas(jnp.asarray(b), valid, 256, 0.5, interpret=True)
     np.testing.assert_array_equal(np.asarray(k_ref), np.asarray(k_pal))
+
+
+def test_pallas_multiblock_cross_suppression():
+    """n > 2048 exercises the blocked cross-tile pass (multiple CROSS
+    blocks + padded tail) — the production 6000-box shape class."""
+    rng = np.random.RandomState(11)
+    b = random_boxes(rng, 2500, spread=400.0, size=60.0)
+    valid = jnp.ones((2500,), bool)
+    k_ref, v_ref = nms_sorted(jnp.asarray(b), valid, 1000, 0.7)
+    k_pal, v_pal = nms_sorted_pallas(jnp.asarray(b), valid, 1000, 0.7,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_pal))
+    np.testing.assert_array_equal(np.asarray(k_ref), np.asarray(k_pal))
