@@ -14,6 +14,9 @@ Metrics:
   for every interior box (see config.py — NEAR-parity fast mode: masks of
   detections touching the top/left image edge can differ).
 - ``inference_batch8_images_per_sec_1024``: full graph (GLM on), batch 8.
+- ``nms_kernel_ms_6000`` / ``aspp_kernel_ms_65sq``: the two custom-kernel
+  hot ops at their production shapes (vs_baseline = speedup over the exact
+  XLA-lowered alternative measured on the same chip).
 - ``inference_images_per_sec_1024``: full graph (GLM on: DeepLab-MSC @513,
   scales 1/0.5/0.75), batch 1 — comparable across rounds. HEADLINE.
 
@@ -146,6 +149,66 @@ def bench_train_step(config, variables, batch, iters=8):
     return dt / iters * 1e3  # ms/step
 
 
+def bench_nms_kernel(iters=50):
+    """Pallas greedy-NMS kernel at the production shape (6000 -> 1000)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from sln_amodal_tpu.ops.nms_pallas import nms_sorted_pallas
+
+    rng = np.random.RandomState(0)
+    centers = rng.rand(6000, 2) * 900 + 50
+    sizes = rng.rand(6000, 2) * 180 + 6
+    boxes = jnp.asarray(
+        np.concatenate([centers - sizes / 2, centers + sizes / 2], 1)
+        .astype(np.float32))
+    valid = jnp.ones((6000,), bool)
+
+    @jax.jit
+    def run(bx):
+        def body(_, carry):
+            k, v = nms_sorted_pallas(
+                carry, valid, max_outputs=1000, iou_threshold=0.7)
+            dep = (jnp.sum(k) + jnp.sum(v)).astype(jnp.float32)
+            return carry + dep * 0.0
+        return jnp.sum(lax.fori_loop(0, iters, body, bx))
+
+    float(run(boxes))
+    t0 = time.perf_counter()
+    float(run(boxes))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench_aspp_kernel(config, variables, iters=50):
+    """Fused-matmul ASPP at the GLM's full-scale grid ([1, 65, 65, 2048])."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from sln_amodal_tpu.models.deeplab import ASPP
+
+    aspp = ASPP(config.glm_num_classes, dtype=jnp.bfloat16)
+    v = {"params": variables["params"]["glm"]["base"]["aspp"]}
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 65, 65, 2048).astype(np.float32)).astype(
+        jnp.bfloat16)
+
+    @jax.jit
+    def run(x0, vv):
+        def body(_, carry):
+            s = jnp.sum(aspp.apply(vv, carry)).astype(jnp.float32)
+            return carry + s.astype(carry.dtype) * 0.0
+        return jnp.sum(lax.fori_loop(0, iters, body, x0))
+
+    float(run(x, v))
+    t0 = time.perf_counter()
+    float(run(x, v))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main() -> None:
     import jax
 
@@ -169,6 +232,18 @@ def main() -> None:
         ms = bench_train_step(config, variables, batch=8, iters=4)
         emit("train_step_ms_b8", ms, "ms/step",
              8 * REFERENCE_TRAIN_STEP_MS / ms)  # images/s advantage
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+    try:
+        ms = bench_nms_kernel()
+        # vs the exact XLA scalar-loop implementation (10.4 ms measured)
+        emit("nms_kernel_ms_6000", ms, "ms", 10.4 / ms)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+    try:
+        ms = bench_aspp_kernel(config, variables)
+        # vs XLA's dilated-conv lowering of the same op (7.18 ms measured)
+        emit("aspp_kernel_ms_65sq", ms, "ms", 7.18 / ms)
     except Exception:
         traceback.print_exc(file=sys.stderr)
     try:

@@ -2,8 +2,10 @@
 
 Breaks the 3-scale MSC forward into stages (per-scale base forwards, stem /
 res-layers / ASPP at full scale, input resize, fusion) and A/B-tests
-alternative formulations of the hot ops (ASPP as 9 shifted matmuls vs XLA
-dilated conv). Methodology identical to bench.py: one compiled
+alternative formulations of the hot ops (the library's fused-matmul ASPP
+vs a 9-shift-matmul variant; the original XLA dilated-conv lowering
+measured 7.2 ms before the ASPP rewrite). Methodology identical to
+bench.py: one compiled
 ``lax.fori_loop`` per stage, data-dependent carry, params as arguments.
 
 Run from the repo root (never concurrently with another TPU process):
@@ -68,7 +70,7 @@ def loop_time(name, step, x0, params, iters=N):
 
 
 # --- whole-GLM and per-scale base forwards -------------------------------
-loop_time("MSC 3-scale (513+257+385)",
+loop_time("MSC 3-scale (513+256+384)",
           lambda v, x: scalar(msc.apply(v, x)), x513, glm_params)
 loop_time("base @513", lambda v, x: scalar(base.apply(v, x)),
           x513, base_params)
@@ -113,7 +115,7 @@ loop_time("trunk @513 (stem..layer5, no ASPP)",
 f65 = jnp.asarray(rng.randn(1, 65, 65, 2048).astype(np.float32)).astype(DT)
 aspp = ASPP(config.glm_num_classes, dtype=DT)
 aspp_params = {"params": base_params["params"]["aspp"]}
-loop_time("ASPP (XLA dilated conv) @65^2",
+loop_time("ASPP (library impl, fused matmul) @65^2",
           lambda v, x: scalar(aspp.apply(v, x)), f65, aspp_params)
 
 

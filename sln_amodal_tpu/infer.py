@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import Config
-from .models.sln import SLNAmodal
+from .models.sln import SLNAmodal  # noqa: F401 (re-export surface)
 from .utils import image as image_utils
 
 
@@ -52,7 +52,6 @@ class Detector:
                  detect_only: bool = True):
         self.config = config
         self.variables = variables
-        self.model = SLNAmodal(config)
         self.detect_only = detect_only
         self.last_global_label = None
         self._infer = _jitted_infer(config, detect_only)

@@ -72,8 +72,12 @@ def _nms_kernel(boxes_ref, valid_ref, alive_ref, alive_col_ref, *,
     # sequential bodies), not VPU math. CROSS is sized so the fused IoU
     # temporaries (~8 live [CROSS, T] f32 arrays) stay within the 16 MB
     # VMEM scoped limit (a full [n, T] pass OOMs at n=6016).
-    cross = min(n, 16 * TILE)
-    num_cross = (n + cross - 1) // cross
+    tiles = n // TILE
+    if tiles > 16:
+        num_cross = -(-tiles // 16)
+        cross = (tiles // num_cross) * TILE  # exact: wrapper pads to equal blocks
+    else:
+        num_cross, cross = 1, n
     chunk_row = jax.lax.broadcasted_iota(jnp.int32, (cross, TILE), 0)
 
     alive_ref[:, :] = valid_ref[:, :]
@@ -140,10 +144,15 @@ def nms_sorted_pallas(
     """Drop-in replacement for :func:`ops.nms.nms_sorted` (same contract)."""
     n = boxes.shape[0]
     n_pad = ((n + TILE - 1) // TILE) * TILE
-    if n_pad > 16 * TILE:
-        # pad to a whole number of cross-suppression blocks (see kernel);
-        # padded rows have valid=0 and never affect survivors
-        n_pad = ((n_pad + 16 * TILE - 1) // (16 * TILE)) * (16 * TILE)
+    tiles = n_pad // TILE
+    if tiles > 16:
+        # balanced cross-suppression blocks (see kernel): ceil-split the
+        # tiles into ceil(tiles/16) equal blocks and pad to a whole number
+        # of them — waste is < 1 tile per block (padded rows have valid=0
+        # and never affect survivors)
+        num_blocks = -(-tiles // 16)
+        block_tiles = -(-tiles // num_blocks)
+        n_pad = num_blocks * block_tiles * TILE
     boxes_p = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(boxes.astype(jnp.float32))
     valid_p = (
         jnp.zeros((n_pad // TILE, TILE), jnp.float32)
