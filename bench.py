@@ -60,11 +60,10 @@ def _rand_images(batch, size, seed=0):
 
 
 def bench_inference(config, variables, batch, method_name, iters=20):
-    import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from sln_amodal_tpu.models.sln import SLNAmodal
+    from sln_amodal_tpu.utils.benchmark import loop_time
 
     model = SLNAmodal(config)
     method = getattr(SLNAmodal, method_name)
@@ -73,23 +72,11 @@ def bench_inference(config, variables, batch, method_name, iters=20):
     windows = jnp.tile(
         jnp.asarray([[0.0, 0.0, float(s), float(s)]], jnp.float32), (batch, 1)
     )
-
-    # params/batch go in as ARGUMENTS: closed-over trees would be embedded
-    # as HLO constants and overflow the remote-compile request body
-    @jax.jit
-    def run(x0, v):
-        def body(_, x):
-            out = model.apply(v, x, windows, method=method)
-            dep = sum(jnp.sum(t).astype(jnp.float32)
-                      for t in jax.tree_util.tree_leaves(out))
-            return x + dep.astype(x.dtype) * 0.0
-        return jnp.sum(lax.fori_loop(0, iters, body, x0))
-
-    float(run(images, variables))  # compile + first execution
-    t0 = time.perf_counter()
-    float(run(images, variables))
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    dt = loop_time(
+        lambda x, v: model.apply(v, x, windows, method=method),
+        images, (variables,), iters=iters,
+    )
+    return batch / dt
 
 
 def bench_train_step(config, variables, batch, iters=8):
@@ -151,12 +138,11 @@ def bench_train_step(config, variables, batch, iters=8):
 
 def bench_nms_kernel(iters=50):
     """Pallas greedy-NMS kernel at the production shape (6000 -> 1000)."""
-    import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax import lax
 
     from sln_amodal_tpu.ops.nms_pallas import nms_sorted_pallas
+    from sln_amodal_tpu.utils.benchmark import loop_time
 
     rng = np.random.RandomState(0)
     centers = rng.rand(6000, 2) * 900 + 50
@@ -165,48 +151,29 @@ def bench_nms_kernel(iters=50):
         np.concatenate([centers - sizes / 2, centers + sizes / 2], 1)
         .astype(np.float32))
     valid = jnp.ones((6000,), bool)
-
-    @jax.jit
-    def run(bx):
-        def body(_, carry):
-            k, v = nms_sorted_pallas(
-                carry, valid, max_outputs=1000, iou_threshold=0.7)
-            dep = (jnp.sum(k) + jnp.sum(v)).astype(jnp.float32)
-            return carry + dep * 0.0
-        return jnp.sum(lax.fori_loop(0, iters, body, bx))
-
-    float(run(boxes))
-    t0 = time.perf_counter()
-    float(run(boxes))
-    return (time.perf_counter() - t0) / iters * 1e3
+    return loop_time(
+        lambda b: nms_sorted_pallas(
+            b, valid, max_outputs=1000, iou_threshold=0.7),
+        boxes, iters=iters,
+    ) * 1e3
 
 
 def bench_aspp_kernel(config, variables, iters=50):
     """Fused-matmul ASPP at the GLM's full-scale grid ([1, 65, 65, 2048])."""
-    import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax import lax
 
     from sln_amodal_tpu.models.deeplab import ASPP
+    from sln_amodal_tpu.utils.benchmark import loop_time
 
     aspp = ASPP(config.glm_num_classes, dtype=jnp.bfloat16)
     v = {"params": variables["params"]["glm"]["base"]["aspp"]}
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(1, 65, 65, 2048).astype(np.float32)).astype(
         jnp.bfloat16)
-
-    @jax.jit
-    def run(x0, vv):
-        def body(_, carry):
-            s = jnp.sum(aspp.apply(vv, carry)).astype(jnp.float32)
-            return carry + s.astype(carry.dtype) * 0.0
-        return jnp.sum(lax.fori_loop(0, iters, body, x0))
-
-    float(run(x, v))
-    t0 = time.perf_counter()
-    float(run(x, v))
-    return (time.perf_counter() - t0) / iters * 1e3
+    return loop_time(
+        lambda c, vv: aspp.apply(vv, c), x, (v,), iters=iters,
+    ) * 1e3
 
 
 def main() -> None:

@@ -49,22 +49,16 @@ x1024 = jnp.asarray(
 N = 20
 
 
+from sln_amodal_tpu.utils.benchmark import loop_time as _loop_time  # noqa: E402
+
+
 def scalar(tree):
     return sum(jnp.sum(v).astype(jnp.float32)
                for v in jax.tree_util.tree_leaves(tree))
 
 
 def loop_time(name, step, x0, params, iters=N):
-    @jax.jit
-    def run(x, v):
-        def body(_, xc):
-            return xc + step(v, xc).astype(xc.dtype) * 0.0
-        return jnp.sum(lax.fori_loop(0, iters, body, x))
-
-    float(run(x0, params))
-    t0 = time.perf_counter()
-    float(run(x0, params))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _loop_time(lambda x, v: step(v, x), x0, (params,), iters=iters)
     print(f"{name:40s} {dt * 1e3:8.2f} ms/iter", flush=True)
     return dt
 

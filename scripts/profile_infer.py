@@ -40,22 +40,16 @@ windows = jnp.asarray([[0.0, 0.0, float(s), float(s)]], jnp.float32)
 N = 20
 
 
+from sln_amodal_tpu.utils.benchmark import loop_time as _loop_time  # noqa: E402
+
+
 def scalar(tree):
     return sum(jnp.sum(v).astype(jnp.float32)
                for v in jax.tree_util.tree_leaves(tree))
 
 
 def loop_time(name, step):
-    @jax.jit
-    def run(x0, v):
-        def body(_, x):
-            return x + step(v, x).astype(x.dtype) * 0.0
-        return jnp.sum(lax.fori_loop(0, N, body, x0))
-
-    float(run(images, variables))  # compile + first run
-    t0 = time.perf_counter()
-    float(run(images, variables))
-    dt = (time.perf_counter() - t0) / N
+    dt = _loop_time(lambda x, v: step(v, x), images, (variables,), iters=N)
     print(f"{name:34s} {dt * 1e3:8.2f} ms/iter", flush=True)
 
 
@@ -93,21 +87,7 @@ rois, roi_valid = model.apply(
 
 
 def loop_on(name, step, x0):
-    @jax.jit
-    def run(x, v):
-        def body(_, xc):
-            out = step(v, xc)
-            dep = sum(jnp.sum(t).astype(jnp.float32)
-                      for t in jax.tree_util.tree_leaves(out))
-            return jax.tree_util.tree_map(
-                lambda a: a + dep.astype(a.dtype) * 0.0
-                if jnp.issubdtype(a.dtype, jnp.floating) else a, xc)
-        return jax.tree_util.tree_leaves(lax.fori_loop(0, N, body, x0))[0].sum()
-
-    float(run(x0, variables))
-    t0 = time.perf_counter()
-    float(run(x0, variables))
-    dt = (time.perf_counter() - t0) / N
+    dt = _loop_time(lambda xc, v: step(v, xc), x0, (variables,), iters=N)
     print(f"{name:34s} {dt * 1e3:8.2f} ms/iter", flush=True)
 
 
