@@ -1,0 +1,38 @@
+"""The shared in-graph timing harness must handle the carry shapes its
+call sites use (single array, pytree with non-float leaves, extra const
+args, multi-output steps) without perturbing non-float dtypes."""
+
+import jax
+import jax.numpy as jnp
+
+from sln_amodal_tpu.utils.benchmark import loop_time
+
+
+def test_array_carry():
+    dt = loop_time(lambda x: x * 2.0, jnp.ones((8, 8)), iters=2)
+    assert dt > 0
+
+
+def test_const_args_and_tuple_output():
+    dt = loop_time(
+        lambda x, w: (x @ w, jnp.sum(x)),
+        jnp.ones((8, 8)), (jnp.eye(8),), iters=2,
+    )
+    assert dt > 0
+
+
+def test_mixed_dtype_pytree_carry():
+    carry = (
+        jnp.ones((4,)),
+        jnp.zeros((4,), jnp.int32),
+        jnp.ones((4,), bool),
+    )
+    dt = loop_time(lambda c: c[0] + 1.0, carry, iters=2)
+    assert dt > 0
+
+
+def test_jit_composable():
+    # used from inside bench functions that may themselves be traced
+    f = jax.jit(lambda x: jnp.sum(x))
+    dt = loop_time(lambda x: f(x), jnp.ones((16,)), iters=2)
+    assert dt > 0
