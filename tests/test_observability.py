@@ -64,3 +64,11 @@ def test_step_timer_history():
     t.tick()
     s = t.summary()
     assert s["steps"] == 2 and s["mean_s"] >= 0
+
+
+def test_trace_writes_artifacts(tmp_path):
+    import glob
+
+    with profiling.trace(str(tmp_path)):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    assert glob.glob(str(tmp_path / "**" / "*"), recursive=True)
