@@ -152,9 +152,9 @@ def bench_nms_kernel(iters=50):
         .astype(np.float32))
     valid = jnp.ones((6000,), bool)
     return loop_time(
-        lambda b: nms_sorted_pallas(
-            b, valid, max_outputs=1000, iou_threshold=0.7),
-        boxes, iters=iters,
+        lambda b, v: nms_sorted_pallas(
+            b, v, max_outputs=1000, iou_threshold=0.7),
+        boxes, (valid,), iters=iters,
     ) * 1e3
 
 

@@ -234,9 +234,12 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     oh, ow = size
     dtype = x.dtype
     # f32 interpolation, except: f64 inputs keep f64 (x64 parity testing)
-    # and bf16 inputs keep bf16 (the MXU accumulates bf16 matmuls in f32,
-    # so the result is f32-accurate for bf16 data; the GLM input path casts
-    # to bf16 before resizing for exactly this — 1.5 ms -> ~0.4 ms on v5e)
+    # and bf16 inputs keep bf16. The bf16 path rounds the interpolation
+    # weights themselves to bf16 (~2^-9 relative) on top of the data
+    # rounding — MXU accumulation is f32, but the result is NOT f32-exact;
+    # drift vs the f32 path is bf16-rounding magnitude (pinned by
+    # tests/test_resize.py::test_bf16_resize_drift). The GLM input path
+    # accepts this for the speed: 1.5 ms -> ~0.4 ms on v5e.
     if x.dtype == jnp.dtype("float64"):
         cdtype = jnp.float64
     elif x.dtype == jnp.bfloat16:

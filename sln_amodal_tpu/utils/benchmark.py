@@ -44,13 +44,26 @@ def loop_time(
     The first call compiles + runs (discarded); the second is timed.
     """
 
+    if not any(
+        jnp.issubdtype(jnp.result_type(t), jnp.floating)
+        for t in jax.tree_util.tree_leaves(carry0)
+    ):
+        # a carry with no floating leaves cannot absorb the output
+        # perturbation — XLA would DCE the whole fori_loop and the
+        # measurement would report ~0 s/iter
+        raise ValueError("loop_time carry must have >=1 floating-point leaf")
+
     @jax.jit
     def run(c0, a):
         def body(_, carry):
             out = step(carry, *a)
+            # start from a concrete f32 zero so a step whose output tree has
+            # no leaves still yields an array (sum of [] is a Python int,
+            # which has no .astype)
             dep = sum(
-                jnp.sum(t).astype(jnp.float32)
-                for t in jax.tree_util.tree_leaves(out)
+                (jnp.sum(t).astype(jnp.float32)
+                 for t in jax.tree_util.tree_leaves(out)),
+                jnp.float32(0),
             )
             return _perturb(carry, dep)
 

@@ -31,6 +31,21 @@ def test_mixed_dtype_pytree_carry():
     assert dt > 0
 
 
+def test_float_free_carry_rejected():
+    # a carry with no floating leaves would let XLA DCE the loop entirely
+    # and report ~0 s/iter; the harness must refuse it up front
+    import pytest
+
+    with pytest.raises(ValueError, match="floating"):
+        loop_time(lambda c: c + 1, jnp.zeros((4,), jnp.int32), iters=2)
+
+
+def test_leafless_output_step():
+    # a step whose output tree has no leaves must not crash the dep sum
+    dt = loop_time(lambda x: (), jnp.ones((4,)), iters=2)
+    assert dt > 0
+
+
 def test_jit_composable():
     # used from inside bench functions that may themselves be traced
     f = jax.jit(lambda x: jnp.sum(x))

@@ -37,3 +37,22 @@ def test_matches_torch(hw_in, hw_out):
 def test_identity():
     x = np.random.RandomState(1).randn(1, 8, 8, 2).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(resize_bilinear(jnp.asarray(x), (8, 8))), x)
+
+
+@pytest.mark.parametrize("hw_in,hw_out", [
+    ((64, 64), (33, 33)),    # GLM input downscale class
+    ((9, 9), (64, 64)),      # label upsample class
+])
+def test_bf16_resize_drift(hw_in, hw_out):
+    """The bf16 fast path rounds both data AND the interpolation weights to
+    bf16 (~2^-9 relative each); drift vs the f32 path must stay at combined
+    bf16-rounding magnitude, not worse."""
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, *hw_in, 4).astype(np.float32)
+    f32 = np.asarray(resize_bilinear(jnp.asarray(x), hw_out))
+    bf16 = np.asarray(
+        resize_bilinear(jnp.asarray(x).astype(jnp.bfloat16), hw_out)
+    ).astype(np.float32)
+    scale = np.abs(f32).max()
+    # two bf16 roundings (weights + data) plus the input cast: ~3 ulps
+    assert np.abs(bf16 - f32).max() <= 3 * 2.0**-8 * scale
