@@ -184,15 +184,83 @@ def convert_full_checkpoint(sd: StateDict, architecture: str = "resnet101") -> D
     return {"params": params}
 
 
-def load_reference_checkpoint(path: str, glm_path: str | None = None) -> Dict:
-    """Load COCOA.pth/D2SA.pth (+ optionally deeplabv2.pth) into flax params."""
+# The four modules the reference re-creates AFTER loading mask_rcnn_coco.pth
+# (``/root/reference/amodal_train.py:606-610``): mask.conv1 (439-in),
+# mask.conv5 (2-class), classifier.linear_class / linear_bbox (2-class).
+_SURGICAL_PATHS = (
+    ("classifier", "linear_class"),
+    ("classifier", "linear_bbox"),
+    ("mask", "conv1"),
+    ("mask", "conv5"),
+)
+
+
+def is_pre_surgery(sd: StateDict, template: Mapping) -> bool:
+    """True when ``sd`` is the 81-class ``mask_rcnn_coco.pth`` layout — the
+    reference's training bootstrap — rather than a post-surgery COCOA.pth /
+    D2SA.pth. Detected by the classifier-head width: the COCO init carries
+    ``classifier.linear_class`` of [81, 1024] where the amodal model's is
+    [num_classes=2, 1024] (``/root/reference/amodal_train.py:53,605``)."""
+    lc = sd.get("classifier.linear_class.weight")
+    if lc is None:
+        return False
+    tmpl_lc = template["params"]["classifier"]["linear_class"]["kernel"]
+    return int(lc.shape[0]) != int(tmpl_lc.shape[1])
+
+
+def convert_coco_init(sd: StateDict, template: Mapping,
+                      architecture: str = "resnet101") -> Dict:
+    """81-class ``mask_rcnn_coco.pth`` → SLNAmodal tree with the reference's
+    head surgery applied (``/root/reference/amodal_train.py:601-610``):
+    backbone/FPN/RPN, classifier convs+BNs, mask conv2-4+BNs+deconv and —
+    like torch module surgery, which replaces conv modules but leaves the
+    following BatchNorms — mask.bn1-4 come from the checkpoint; the four
+    surgical layers (mask.conv1 439-in, mask.conv5, both classifier linears
+    at the amodal num_classes) are taken fresh from ``template``'s init.
+
+    The COCO init has no GLM weights; the caller attaches deeplabv2.pth
+    (``amodal_train.py:612-613``) or keeps the template's.
+    """
+    params = {
+        "fpn": convert_resnet_fpn(sd, architecture),
+        "rpn": convert_rpn(sd),
+        "classifier": convert_classifier(sd),
+        "mask": convert_mask_head(sd),
+    }
+    tpl = template["params"]
+    for path in _SURGICAL_PATHS:
+        node, tnode = params, tpl
+        for k in path[:-1]:
+            node, tnode = node[k], tnode[k]
+        node[path[-1]] = {k: np.asarray(v) for k, v in tnode[path[-1]].items()}
+    return {"params": params}
+
+
+def load_reference_checkpoint(path: str, glm_path: str | None = None,
+                              template: Mapping | None = None) -> Dict:
+    """Load a reference torch checkpoint into flax params.
+
+    Post-surgery COCOA.pth / D2SA.pth convert key-for-key; the pre-surgery
+    81-class ``mask_rcnn_coco.pth`` (detected via :func:`is_pre_surgery`,
+    requires ``template`` for the fresh surgical layers) goes through
+    :func:`convert_coco_init`. Either way a missing GLM is filled from
+    ``glm_path`` (deeplabv2.pth) when given, else from ``template``.
+    """
     sd = load_torch_state_dict(path)
-    tree = convert_full_checkpoint(sd)
+    if template is not None and is_pre_surgery(sd, template):
+        tree = convert_coco_init(sd, template)
+    else:
+        tree = convert_full_checkpoint(sd)
     if "glm" not in tree["params"]:
-        if glm_path is None:
+        if glm_path is not None:
+            glm_sd = load_torch_state_dict(glm_path)
+            tree["params"]["glm"] = convert_deeplab(glm_sd, prefix="")
+        elif template is not None:
+            # reference training requires deeplabv2.pth (amodal_train.py:612);
+            # fall back to the init so experiments without it still run
+            tree["params"]["glm"] = template["params"]["glm"]
+        else:
             raise ValueError("checkpoint lacks GLM weights; pass glm_path")
-        glm_sd = load_torch_state_dict(glm_path)
-        tree["params"]["glm"] = convert_deeplab(glm_sd, prefix="")
     return tree
 
 

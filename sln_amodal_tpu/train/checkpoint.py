@@ -69,5 +69,5 @@ def load_weights(path: str, template: Any, glm_path: Optional[str] = None) -> An
     if path.endswith(".pth"):
         from ..convert.torch_weights import load_reference_checkpoint
 
-        return load_reference_checkpoint(path, glm_path)
+        return load_reference_checkpoint(path, glm_path, template=template)
     return restore(path, template)
