@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epochs when --stage is given")
     p.add_argument("--validate_steps", type=int, default=0,
                    help="run N validation batches after each epoch")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint in --logs: "
+                        "params always, plus optimizer momentum/step when a "
+                        ".state file exists (mid-stage resume)")
     return p
 
 
@@ -155,6 +159,20 @@ def run_train(args) -> None:
         val_ds.prepare()
 
     template = init_params(config, jax.random.PRNGKey(args.seed))
+
+    resume_epoch, resume_state_path = 0, None
+    if getattr(args, "resume", False):
+        last_path, last_epoch = ckpt.find_last(args.logs, config.name)
+        if last_path is not None:
+            log(f"Resuming from {last_path} (epoch {last_epoch})")
+            args.model = last_path
+            resume_epoch = last_epoch
+            if os.path.exists(last_path + ".state"):
+                resume_state_path = last_path + ".state"
+        else:
+            log(f"--resume: no checkpoint under {args.logs}/{config.name} — "
+                "starting fresh")
+
     variables = resolve_weights(args, config, template)
     print_network(variables, "sln_amodal")
 
@@ -166,6 +184,8 @@ def run_train(args) -> None:
 
     def save_epoch(epoch, params):
         path = ckpt.save(params, args.logs, config.name, epoch)
+        if trainer.last_state is not None:
+            ckpt.save_train_state(trainer.last_state, args.logs, config.name, epoch)
         log(f"checkpoint: {path}")
         if val_loader is not None:
             trainer.variables = params
@@ -173,9 +193,11 @@ def run_train(args) -> None:
             log("  val " + " ".join(f"{k}={v:.4f}" for k, v in sorted(vl.items())))
 
     if args.stage:
+        trainer.epoch = resume_epoch
         trainer.train_stage(
             loader, args.stage, config.learning_rate, args.epochs,
             steps_per_epoch=args.steps_per_epoch, on_epoch_end=save_epoch,
+            resume_state_path=resume_state_path, start_epoch=resume_epoch,
         )
     else:
         trainer.train(
@@ -183,6 +205,8 @@ def run_train(args) -> None:
             steps_per_epoch=args.steps_per_epoch,
             sticky_freeze=args.sticky_freeze,
             on_epoch_end=save_epoch,
+            resume_epoch=resume_epoch,
+            resume_state_path=resume_state_path,
         )
 
 
