@@ -125,7 +125,7 @@ def run_evaluate(args) -> None:
 
     if not results:
         log("no detections produced")
-        return
+        return None
     dt = DetectionResults(results)
     order_key = "order" if args.data_type == "COCOA" else "amodal_region.order"
     ev = AmodalEval(coco, dt, order_key=order_key)
@@ -135,7 +135,7 @@ def run_evaluate(args) -> None:
     ev.params.img_ids = [
         dataset.image_info[int(i)]["id"] for i in image_ids
     ]
-    evaluate_sweep(ev)
+    return evaluate_sweep(ev)
 
 
 def run_train(args) -> None:

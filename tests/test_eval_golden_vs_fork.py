@@ -1,10 +1,13 @@
 """Golden cross-validation: our AmodalEval vs the actual reference fork.
 
-Imports ``/root/reference/evaluate/amodalevalCOCOA.py`` (read-only, used as a
-test-time oracle), shims ``pycocotools.mask`` with our own RLE library (the
-contract is identical — proven bit-exact vs maskApi.c in test_rle_oracle.py),
-feeds BOTH evaluators the same randomized region GT/DT, and asserts identical
-stats arrays across the full 12-way {both,things,stuff} x occlusion sweep.
+Imports ``/root/reference/evaluate/amodalevalCOCOA.py`` AND
+``amodalevalD2SA.py`` (read-only, used as test-time oracles — their only
+divergence is the GT order key, ``region['order']`` vs
+``region['amodal_region']['order']``, amodalevalD2SA.py:286,302), shims
+``pycocotools.mask`` with our own RLE library (the contract is identical —
+proven bit-exact vs maskApi.c in test_rle_oracle.py), feeds BOTH evaluators
+the same randomized region GT/DT, and asserts identical stats arrays across
+the full 12-way {both,things,stuff} x occlusion sweep.
 
 The fork is Python-2/numpy-1.x era; two era shims are applied without
 touching the reference tree:
@@ -30,7 +33,11 @@ from sln_amodal_tpu.eval_amodal.amodal_eval import (
     AmodalEval,
 )
 
-REF_EVAL = "/root/reference/evaluate/amodalevalCOCOA.py"
+REF_EVALS = {
+    "COCOA": "/root/reference/evaluate/amodalevalCOCOA.py",
+    "D2SA": "/root/reference/evaluate/amodalevalD2SA.py",
+}
+ORDER_KEYS = {"COCOA": "order", "D2SA": "amodal_region.order"}
 
 H = W = 40
 
@@ -50,8 +57,12 @@ def _rle_of(mask):
     return {"size": r["size"], "counts": r["counts"].decode()}
 
 
-def make_dataset(seed=0, n_images=6):
-    """Synthetic region GT + detections with str-counts RLE segmentations."""
+def make_dataset(seed=0, n_images=6, variant="COCOA"):
+    """Synthetic region GT + detections with str-counts RLE segmentations.
+
+    ``variant="D2SA"`` nests the GT depth order under
+    ``region['amodal_region']['order']`` and removes the flat key, so a
+    wrong-key read fails loudly instead of silently matching."""
     rng = np.random.RandomState(seed)
     images, gt_anns, dt_anns = [], [], []
     dt_id = 1
@@ -68,14 +79,18 @@ def make_dataset(seed=0, n_images=6):
                 cut = int(m.sum() * min(occ, 0.8))
                 ys, xs = np.nonzero(vis)
                 vis[ys[:cut], xs[:cut]] = 0
-            regions.append({
+            region = {
                 "segmentation": _rle_of(m),
                 "visible_mask": _rle_of(vis),
                 "area": int(m.sum()),
                 "isStuff": int(rng.rand() < 0.3),
                 "occlude_rate": float(1.0 - vis.sum() / max(m.sum(), 1)),
                 "order": order,
-            })
+            }
+            if variant == "D2SA":
+                del region["order"]
+                region["amodal_region"] = {"order": order}
+            regions.append(region)
             # detections: jittered copies of GT masks + one random blob
             if rng.rand() < 0.85:
                 d = np.roll(m, rng.randint(-3, 4), axis=rng.randint(0, 2))
@@ -134,9 +149,12 @@ class _ForkDt:
         return [self._anns[i] for i in ids]
 
 
-@pytest.fixture(scope="module")
-def fork_module():
-    if not os.path.exists(REF_EVAL):
+@pytest.fixture(scope="module", params=["COCOA", "D2SA"])
+def fork_variant(request):
+    """(variant name, loaded fork module) for each order-key variant."""
+    variant = request.param
+    ref_path = REF_EVALS[variant]
+    if not os.path.exists(ref_path):
         pytest.skip("reference evaluator not available")
     # pycocotools shim backed by our RLE library
     pycocotools = types.ModuleType("pycocotools")
@@ -148,7 +166,8 @@ def fork_module():
     sys.modules.setdefault("pycocotools", pycocotools)
     sys.modules["pycocotools.mask"] = mask_mod
 
-    spec = importlib.util.spec_from_file_location("ref_amodaleval", REF_EVAL)
+    spec = importlib.util.spec_from_file_location(
+        f"ref_amodaleval_{variant}", ref_path)
     mod = importlib.util.module_from_spec(spec)
     # era shims: numpy>=1.24 removed np.float; linspace num must be int
     np.float = float  # noqa: NPY001
@@ -160,7 +179,7 @@ def fork_module():
     np.linspace = linspace_intnum
     try:
         spec.loader.exec_module(mod)
-        yield mod
+        yield variant, mod
     finally:
         np.linspace = orig_linspace
         del np.float
@@ -188,7 +207,7 @@ def run_fork_sweep(mod, images, gt_anns, dt_anns):
     return stats
 
 
-def run_ours_sweep(images, gt_anns, dt_anns):
+def run_ours_sweep(images, gt_anns, dt_anns, order_key="order"):
     import copy
 
     gt = AmodalCoco(dataset={
@@ -199,7 +218,7 @@ def run_ours_sweep(images, gt_anns, dt_anns):
     stats = {}
     for tname, tval in SWEEP_THINGS.items():
         for oname, orng in SWEEP_OCC.items():
-            ev = AmodalEval(gt, dt, limit=len(images))
+            ev = AmodalEval(gt, dt, limit=len(images), order_key=order_key)
             ev.params.only_things = tval
             ev.params.occ_rng = orng
             stats[f"{tname}/{oname}"] = ev.run()
@@ -209,9 +228,11 @@ def run_ours_sweep(images, gt_anns, dt_anns):
 # -------------------------------------------------------------------- tests --
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_full_sweep_matches_fork(fork_module, seed):
-    images, gt_anns, dt_anns = make_dataset(seed=seed)
-    ours = run_ours_sweep(images, gt_anns, dt_anns)
+def test_full_sweep_matches_fork(fork_variant, seed):
+    variant, fork_module = fork_variant
+    images, gt_anns, dt_anns = make_dataset(seed=seed, variant=variant)
+    ours = run_ours_sweep(images, gt_anns, dt_anns,
+                          order_key=ORDER_KEYS[variant])
     fork = run_fork_sweep(fork_module, images, gt_anns, dt_anns)
     assert set(ours) == set(fork)
     nonzero = 0
@@ -225,10 +246,12 @@ def test_full_sweep_matches_fork(fork_module, seed):
     assert nonzero >= 6
 
 
-def test_match_tables_match_fork(fork_module):
+def test_match_tables_match_fork(fork_variant):
     """Beyond the summary stats: per-image dtMatches (which record GT depth
-    order) must agree with the fork's."""
-    images, gt_anns, dt_anns = make_dataset(seed=2)
+    order — read through the variant's order key) must agree with the
+    fork's."""
+    variant, fork_module = fork_variant
+    images, gt_anns, dt_anns = make_dataset(seed=2, variant=variant)
     import copy
 
     fev = fork_module.AmodalEval(
@@ -240,7 +263,7 @@ def test_match_tables_match_fork(fork_module):
 
     gt = AmodalCoco(dataset={"images": images, "annotations": gt_anns})
     dt = DetectionResults(dt_anns)
-    ours = AmodalEval(gt, dt)
+    ours = AmodalEval(gt, dt, order_key=ORDER_KEYS[variant])
     ours.evaluate()
 
     fork_by_img = {e["image_id"]: e for e in fev.evalImgs if e is not None}
