@@ -7,13 +7,20 @@ it up.
 
 Metrics:
 - ``train_step_ms_b1`` / ``train_step_ms_b8``: full jitted training step
-  (forward + 6 losses + grads + clip + SGD) at 1024², batch 1 / 8.
+  (forward + 6 losses + grads w.r.t. ALL params + clip + SGD) at 1024²,
+  batch 1 / 8, with the HEADS-stage optimizer — the reference recipe's
+  first stage (``amodal_train.py:636-641``); the all-stage update differs
+  only in how many tensors the momentum/weight-decay update touches.
 - ``inference_noglm_images_per_sec_1024``: the ``detect()`` contract with
   ``glm_elide_at_inference``: the frozen DeepLab forward skipped because the
   reference's pixel-coords quirk (``model.py:591``) zeroes its contribution
   for every interior box (see config.py — NEAR-parity fast mode: masks of
   detections touching the top/left image edge can differ).
 - ``inference_batch8_images_per_sec_1024``: full graph (GLM on), batch 8.
+- ``eval_pipeline_images_per_sec_1024``: TRUE end-to-end eval throughput —
+  the CLI's pipelined dispatch/collect loop with host unmold + RLE encode
+  of a full detection table per image, wall-clock (the BASELINE north-star
+  operational metric; batch 8, full-parity graph).
 - ``nms_kernel_ms_6000`` / ``aspp_kernel_ms_65sq``: the two custom-kernel
   hot ops at their production shapes (vs_baseline = speedup over the exact
   XLA-lowered alternative measured on the same chip).
@@ -80,6 +87,7 @@ def bench_inference(config, variables, batch, method_name, iters=20):
 
 
 def bench_train_step(config, variables, batch, iters=8):
+    """Jitted train step, heads-stage optimizer (see module docstring)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -134,6 +142,56 @@ def bench_train_step(config, variables, batch, iters=8):
     float(run(state, jax.random.PRNGKey(1), batch_data))
     dt = time.perf_counter() - t0
     return dt / iters * 1e3  # ms/step
+
+
+def bench_eval_pipeline(config, batch=8, n_images=32):
+    """TRUE end-to-end eval throughput: the CLI's software-pipelined
+    ``Detector.dispatch → collect (unmold + mask paste) → build_coco_results
+    (RLE encode)`` loop on synthetic 1024² uint8 images — device AND host
+    wall-clock, matching the reference's operational metric
+    (``amodal_train.py:463-497``).
+
+    Uses the detection-biased checkpoint so every image carries a full
+    detection table (~``detection_max_instances`` masks to unmold + encode —
+    the reference evaluates with ``DETECTION_MIN_CONFIDENCE = 0``, so a full
+    table IS the realistic per-image host load, not a worst case)."""
+    import numpy as np
+
+    from sln_amodal_tpu.eval_amodal.coco_results import build_coco_results
+    from sln_amodal_tpu.infer import Detector
+    from sln_amodal_tpu.utils.synthetic import detection_biased_variables
+
+    det = Detector(config, detection_biased_variables(config))
+    rng = np.random.RandomState(0)
+    s = config.image_size
+    batches = []
+    for b in range(0, n_images, batch):
+        batches.append([
+            rng.randint(0, 256, (s, s, 3), np.uint8)
+            for _ in range(min(batch, n_images - b))
+        ])
+
+    n_dets = 0
+
+    def drain(handle):
+        nonlocal n_dets
+        for i, r in enumerate(det.collect(handle)):
+            n_dets += len(build_coco_results(
+                i + 1, r["rois"], r["class_ids"], r["scores"], r["masks"]))
+
+    drain(det.dispatch(batches[0]))  # compile + warm the host path
+    assert n_dets > 0, "biased checkpoint produced no detections"
+
+    t0 = time.perf_counter()
+    pending = None
+    for imgs in batches:
+        handle = det.dispatch(imgs)
+        if pending is not None:
+            drain(pending)
+        pending = handle
+    drain(pending)
+    dt = time.perf_counter() - t0
+    return n_images / dt
 
 
 def bench_nms_kernel(iters=50):
@@ -225,6 +283,12 @@ def main() -> None:
     try:
         ips = bench_inference(config, variables, 8, "infer", iters=4)
         emit("inference_batch8_images_per_sec_1024", ips, "images/s",
+             ips / REFERENCE_IMAGES_PER_SEC)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+    try:
+        ips = bench_eval_pipeline(config)
+        emit("eval_pipeline_images_per_sec_1024", ips, "images/s",
              ips / REFERENCE_IMAGES_PER_SEC)
     except Exception:
         traceback.print_exc(file=sys.stderr)

@@ -10,7 +10,7 @@ host side only molds inputs (resize + mean-subtract) and unmolds outputs
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List
+from typing import Any, Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -56,28 +56,36 @@ class Detector:
         self.last_global_label = None
         self._infer = _jitted_infer(config, detect_only)
 
-    def detect(self, images: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
-        """images: list of [H, W, 3] uint8 arrays (any sizes).
+    def dispatch(self, images: List[np.ndarray]) -> "PendingDetect":
+        """Mold + launch the device program WITHOUT waiting for it.
 
-        Returns, per image: dict(rois [N,4] px, class_ids [N], scores [N],
-        masks [H, W, N]) — the reference's output contract.
-        """
+        JAX dispatch is asynchronous: the returned handle holds live device
+        arrays that materialize in the background, so the host is free to
+        post-process a previous batch (unmold + RLE) while this one computes
+        — the overlap the reference's strictly-sequential eval loop
+        (``amodal_train.py:463-497``) never had."""
         cfg = self.config
-        molded, metas, windows = image_utils.mold_inputs(images, cfg)
+        molded, windows = image_utils.mold_inputs(images, cfg)
         out = self._infer(
             self.variables,
             jnp.asarray(molded),
             jnp.asarray(windows, jnp.float32),
         )
+        return PendingDetect(images=images, windows=windows, out=out)
+
+    def collect(self, pending: "PendingDetect") -> List[Dict[str, np.ndarray]]:
+        """Block on a dispatched batch and unmold to the reference's
+        per-image output contract."""
+        out = pending.out
         detections = np.asarray(out.detections)
         masks = np.asarray(out.masks)  # [B, D, mh, mw, C]
         if not self.detect_only:
             self.last_global_label = np.asarray(out.global_label)
 
         results = []
-        for i, image in enumerate(images):
+        for i, image in enumerate(pending.images):
             rois, class_ids, scores, full_masks = image_utils.unmold_detections(
-                detections[i], masks[i], image.shape, windows[i]
+                detections[i], masks[i], image.shape, pending.windows[i]
             )
             results.append(
                 {
@@ -88,3 +96,19 @@ class Detector:
                 }
             )
         return results
+
+    def detect(self, images: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
+        """images: list of [H, W, 3] uint8 arrays (any sizes).
+
+        Returns, per image: dict(rois [N,4] px, class_ids [N], scores [N],
+        masks [H, W, N]) — the reference's output contract.
+        """
+        return self.collect(self.dispatch(images))
+
+
+class PendingDetect(NamedTuple):
+    """An in-flight detect batch: host inputs + live device outputs."""
+
+    images: List[np.ndarray]
+    windows: np.ndarray
+    out: Any

@@ -77,7 +77,11 @@ def unmold_image(molded: np.ndarray, mean_pixel) -> np.ndarray:
 
 
 def compose_image_meta(image_id, image_shape, window, active_class_ids):
-    """[id, shape(3), window(4), active_class_ids(...)] flat meta array."""
+    """[id, shape(3), window(4), active_class_ids(...)] flat meta array.
+
+    Reference contract helper (``model.py:709-727`` threads these through
+    its graph); this pipeline passes windows directly, so metas are only
+    built by callers that want the reference's array format."""
     return np.array(
         [image_id] + list(image_shape) + list(window) + list(active_class_ids)
     )
@@ -88,18 +92,13 @@ def parse_image_meta(meta: np.ndarray):
 
 
 def mold_inputs(images: List[np.ndarray], config):
-    """List of raw images → (molded [N,S,S,3] f32, metas, windows)."""
-    molded, metas, windows = [], [], []
+    """List of raw images → (molded [N,S,S,3] f32, windows [N,4])."""
+    molded, windows = [], []
     for image in images:
         resized, window, _, _ = resize_image(image, config.image_size)
         molded.append(mold_image(resized, config.mean_pixel))
-        metas.append(
-            compose_image_meta(
-                0, image.shape, window, np.zeros([config.num_classes], np.int32)
-            )
-        )
         windows.append(window)
-    return np.stack(molded), np.stack(metas), np.stack(windows)
+    return np.stack(molded), np.stack(windows)
 
 
 def unmold_mask(mask: np.ndarray, bbox, image_shape) -> np.ndarray:

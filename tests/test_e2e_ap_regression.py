@@ -17,14 +17,11 @@ sweep changes the pinned numbers.
 import numpy as np
 import pytest
 
-import jax
-
 from sln_amodal_tpu.config import Config
 from sln_amodal_tpu.data.dataset import AmodalDataset, DetectionResults
 from sln_amodal_tpu.eval_amodal.amodal_eval import AmodalEval, evaluate_sweep
 from sln_amodal_tpu.eval_amodal.coco_results import build_coco_results
 from sln_amodal_tpu.infer import Detector
-from sln_amodal_tpu.models.sln import init_params
 
 from fixtures import make_synthetic_dataset
 
@@ -46,49 +43,12 @@ def tiny_config():
     )
 
 
-def biased_variables(config):
-    variables = init_params(config, jax.random.PRNGKey(0))
-    p = variables["params"]
-
-    def zero(tree, *keys):
-        node = tree
-        for k in keys[:-1]:
-            node = node[k]
-        node[keys[-1]] = jax.tree_util.tree_map(np.zeros_like, node[keys[-1]])
-
-    zero(p, "rpn", "conv_bbox")
-    zero(p, "classifier", "linear_bbox")
-    # equal foreground scores for every anchor -> deterministic, stable
-    # proposal order; NMS then tiles the image with kept anchors
-    zero(p, "rpn", "conv_class")
-    rpn_bias = np.zeros_like(p["rpn"]["conv_class"]["bias"])
-    rpn_bias[1::2] = 1.0  # (bg, fg) channel pairs, anchor-major
-    p["rpn"]["conv_class"]["bias"] = rpn_bias
-    cls_bias = np.zeros_like(p["classifier"]["linear_class"]["bias"])
-    cls_bias[1] = 8.0
-    p["classifier"]["linear_class"]["bias"] = cls_bias
-    # Deterministic dithered masks. The unmold path reproduces the
-    # reference's scipy.misc.imresize bytescale quirk (utils.py:458-459):
-    # a CONSTANT mask rescales to all-zeros, so a flat logit bias can't
-    # produce masks. Instead: constant conv4 output (zero kernel, bias 1,
-    # identity frozen-BN at init) -> per-tap deconv kernel values make a
-    # fixed 2x2 dither (one low tap in four) -> conv5 maps it to layer
-    # logits {5, 10}. After bytescale+threshold the mask is the 75%-coverage
-    # dither of the detection box — deterministic and parity-faithful.
-    zero(p, "mask", "conv4")
-    p["mask"]["conv4"]["bias"] = np.ones_like(
-        np.asarray(p["mask"]["conv4"]["bias"]))
-    dk = np.zeros_like(np.asarray(p["mask"]["deconv"]["kernel"]))
-    dk[:, :, 0, :] = 1.0
-    dk[0, 0, 0, :] = 0.5
-    p["mask"]["deconv"]["kernel"] = dk
-    p["mask"]["deconv"]["bias"] = np.zeros_like(
-        np.asarray(p["mask"]["deconv"]["bias"]))
-    zero(p, "mask", "conv5")
-    ck = np.zeros_like(np.asarray(p["mask"]["conv5"]["kernel"]))
-    ck[0, 0, 0, 1:] = 10.0
-    p["mask"]["conv5"]["kernel"] = ck
-    return variables
+# The biased checkpoint now lives in the library (bench.py drives the same
+# recipe for the end-to-end eval-pipeline wall-clock metric); re-exported
+# here because other tests import it from this module.
+from sln_amodal_tpu.utils.synthetic import (  # noqa: E402
+    detection_biased_variables as biased_variables,
+)
 
 
 @pytest.fixture(scope="module")

@@ -32,13 +32,22 @@ def test_unmold_mask_relative_threshold():
 def test_mold_roundtrip():
     cfg = Config(image_size=64)
     img = np.random.RandomState(0).randint(0, 255, (32, 48, 3), np.uint8)
-    molded, metas, windows = im.mold_inputs([img], cfg)
+    molded, windows = im.mold_inputs([img], cfg)
     assert molded.shape == (1, 64, 64, 3)
     assert windows[0].tolist() == [0, 0, 64, 64]
     rec = im.unmold_image(molded[0], cfg.mean_pixel)
     assert rec.dtype == np.uint8
-    ids, shapes, win, active = im.parse_image_meta(metas)
+
+
+def test_image_meta_contract():
+    """compose/parse round-trip — the reference's meta array format
+    (model.py:709-727), kept as a standalone contract helper."""
+    meta = im.compose_image_meta(7, (32, 48, 3), (0, 0, 64, 64), [0, 1])
+    ids, shapes, win, active = im.parse_image_meta(meta[None])
+    assert ids[0] == 7
     assert shapes[0].tolist() == [32, 48, 3]
+    assert win[0].tolist() == [0, 0, 64, 64]
+    assert active[0].tolist() == [0, 1]
 
 
 def test_unmold_detections_trims_and_rescales():

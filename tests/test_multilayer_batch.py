@@ -66,3 +66,51 @@ def test_batched_inference():
     assert out.detections.shape == (3, cfg.detection_max_instances, 6)
     assert out.masks.shape[0] == 3
     assert np.isfinite(np.asarray(out.detections)).all()
+
+
+def test_detector_contract_batch_invariant():
+    """The full Detector contract (rois/class_ids/scores/masks after
+    mold → device graph → unmold) is identical at batch 1 and batch 4 —
+    the guarantee behind the CLI's batched-serving default
+    (``--eval_batch``). The per-image pipeline is vmapped, so batching
+    must not change any detection."""
+    from sln_amodal_tpu.config import inference_config
+    from sln_amodal_tpu.infer import Detector
+    from test_e2e_ap_regression import biased_variables
+
+    cfg = inference_config(image_size=64, name="batchinv")
+    variables = biased_variables(cfg)
+
+    rng = np.random.RandomState(3)
+    # varied raw sizes so mold (squash-resize) and unmold (window rescale)
+    # are exercised, not just the device graph
+    images = [
+        rng.randint(0, 255, (h, w, 3), np.uint8)
+        for h, w in [(64, 64), (48, 80), (96, 56), (64, 72)]
+    ]
+
+    det1 = Detector(cfg, variables)
+    singles = [det1.detect([im])[0] for im in images]
+
+    cfg4 = inference_config(image_size=64, name="batchinv4", batch_size=4)
+    det4 = Detector(cfg4, variables)
+    batched = det4.detect(images)
+
+    for i, (s, b) in enumerate(zip(singles, batched)):
+        assert s["rois"].shape == b["rois"].shape, f"image {i}"
+        np.testing.assert_array_equal(s["rois"], b["rois"], err_msg=f"image {i}")
+        np.testing.assert_array_equal(s["class_ids"], b["class_ids"])
+        np.testing.assert_allclose(s["scores"], b["scores"], atol=1e-5)
+        np.testing.assert_array_equal(s["masks"], b["masks"])
+    assert any(s["rois"].shape[0] > 0 for s in singles), "vacuous: no detections"
+
+    # dispatch/collect software pipelining (the CLI eval loop) must equal
+    # the sequential path
+    h2 = det4.dispatch(images)
+    h1 = det4.dispatch(list(reversed(images)))
+    out2, out1 = det4.collect(h2), det4.collect(h1)
+    for s, b in zip(out2, batched):
+        np.testing.assert_array_equal(s["rois"], b["rois"])
+        np.testing.assert_array_equal(s["masks"], b["masks"])
+    for s, b in zip(out1, list(reversed(batched))):
+        np.testing.assert_array_equal(s["rois"], b["rois"])
