@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--root", default="/tmp/soak_ds")
+    ap.add_argument("--device_prep", action="store_true",
+                    help="use DevicePrepLoader (on-device target build)")
     args = ap.parse_args()
 
     from sln_amodal_tpu.utils.runtime import setup_runtime
@@ -48,7 +50,11 @@ def main():
     )
     variables = init_params(config, jax.random.PRNGKey(0))
     trainer = Trainer(config, variables, mesh=make_mesh(jax.devices()[:1]))
-    loader = TrainLoader(dataset, config, batch_size=args.batch, seed=0)
+    loader_cls = TrainLoader
+    if args.device_prep:
+        from sln_amodal_tpu.data.device_prep import DevicePrepLoader
+        loader_cls = DevicePrepLoader
+    loader = loader_cls(dataset, config, batch_size=args.batch, seed=0)
 
     t0 = time.time()
     losses = trainer.train_stage(

@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="continue from the newest checkpoint in --logs: "
                         "params always, plus optimizer momentum/step when a "
                         ".state file exists (mid-stage resume)")
+    p.add_argument("--device_prep", action="store_true",
+                   help="build training targets (sem-dist decode, bboxes, "
+                        "RPN matching) on the TPU instead of host numpy — "
+                        "~100x less host work per sample; equivalence pinned "
+                        "by tests/test_device_prep")
     return p
 
 
@@ -195,11 +200,15 @@ def run_train(args) -> None:
     variables = resolve_weights(args, config, template)
     print_network(variables, "sln_amodal")
 
-    loader = TrainLoader(train_ds, config, seed=args.seed)
+    loader_cls = TrainLoader
+    if args.device_prep:
+        from ..data.device_prep import DevicePrepLoader
+        loader_cls = DevicePrepLoader
+    loader = loader_cls(train_ds, config, seed=args.seed)
     trainer = Trainer(config, variables)
 
     if args.validate_steps > 0:
-        val_loader = TrainLoader(val_ds, config, seed=args.seed + 1, augment=False)
+        val_loader = loader_cls(val_ds, config, seed=args.seed + 1, augment=False)
 
     def save_epoch(epoch, params):
         path = ckpt.save(params, args.logs, config.name, epoch)

@@ -219,6 +219,14 @@ class TrainLoader:
         self.workers = max(1, workers)
         self.error_count = 0
 
+    def _make_one_sample(self, image_id: int, rng) -> Optional[Dict[str, np.ndarray]]:
+        """Per-image sample hook (overridden by
+        ``device_prep.DevicePrepLoader`` to emit light encoded samples)."""
+        return make_training_sample(
+            self.dataset, self.config, image_id, self.anchors,
+            rng=rng, augment=self.augment,
+        )
+
     def _sample_stream(self) -> Iterator[Dict[str, np.ndarray]]:
         return self._sample_stream_with(self.rng)
 
@@ -231,10 +239,7 @@ class TrainLoader:
                 # skipped and counted instead of killing the epoch (the
                 # reference's unused error_count, model.py:62, made real).
                 try:
-                    s = make_training_sample(
-                        self.dataset, self.config, int(image_id), self.anchors,
-                        rng=rng, augment=self.augment,
-                    )
+                    s = self._make_one_sample(int(image_id), rng)
                 except (OSError, ValueError, KeyError) as e:
                     self.error_count += 1
                     print(f"[TrainLoader] skipping image {image_id}: {e!r} "
