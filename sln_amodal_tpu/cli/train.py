@@ -200,15 +200,17 @@ def run_train(args) -> None:
     variables = resolve_weights(args, config, template)
     print_network(variables, "sln_amodal")
 
-    loader_cls = TrainLoader
+    trainer = Trainer(config, variables)
+    loader_cls, loader_kw = TrainLoader, {}
     if args.device_prep:
         from ..data.device_prep import DevicePrepLoader
-        loader_cls = DevicePrepLoader
-    loader = loader_cls(train_ds, config, seed=args.seed)
-    trainer = Trainer(config, variables)
+        # prep shards over the same mesh as the train step (SPMD data prep)
+        loader_cls, loader_kw = DevicePrepLoader, {"mesh": trainer.mesh}
+    loader = loader_cls(train_ds, config, seed=args.seed, **loader_kw)
 
     if args.validate_steps > 0:
-        val_loader = loader_cls(val_ds, config, seed=args.seed + 1, augment=False)
+        val_loader = loader_cls(
+            val_ds, config, seed=args.seed + 1, augment=False, **loader_kw)
 
     def save_epoch(epoch, params):
         path = ckpt.save(params, args.logs, config.name, epoch)

@@ -307,12 +307,17 @@ def prepare_sample(image_u8, label_lo, label_hi, n_objects, anchors, key,
     }
 
 
-def make_prepare_batch(config, augment: bool = True):
+def make_prepare_batch(config, augment: bool = True, mesh=None):
     """Jitted ``(encoded batch dict, anchors [A,4], keys [B,2]) → batch
     dict``. ``lax.map`` over the batch bounds live temporaries to one
-    sample's working set (the [NOBJ, L, S, S] decode broadcast)."""
+    sample's working set (the [NOBJ, L, S, S] decode broadcast).
 
-    @jax.jit
+    On a >1-device ``mesh`` the program is SPMD over the batch axis —
+    samples are per-device-independent, so each chip preps its own shard
+    and the outputs land already laid out for the sharded train step
+    (no resharding copy between prep and training)."""
+    from ..parallel.mesh import batch_sharding, replicate
+
     def prepare_batch(batch, anchors, keys):
         def one(args):
             img, lo, hi, n, key = args
@@ -325,7 +330,14 @@ def make_prepare_batch(config, augment: bool = True):
              batch["n_objects"], keys),
         )
 
-    return prepare_batch
+    if mesh is not None and mesh.devices.size > 1:
+        data_sh, repl = batch_sharding(mesh), replicate(mesh)
+        return jax.jit(
+            prepare_batch,
+            in_shardings=(data_sh, repl, data_sh),
+            out_shardings=data_sh,
+        )
+    return jax.jit(prepare_batch)
 
 
 # ------------------------------------------------------------------- loader
@@ -340,9 +352,10 @@ class DevicePrepLoader(TrainLoader):
     ~10 ms, so a 1-core host can feed the 370 ms/step batch-8 device step.
     """
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, mesh=None, **kwargs):
         super().__init__(*args, **kwargs)
-        self._prepare = make_prepare_batch(self.config, augment=self.augment)
+        self._prepare = make_prepare_batch(
+            self.config, augment=self.augment, mesh=mesh)
         self._anchors_dev = jnp.asarray(self.anchors)
         self._key = jax.random.PRNGKey(int(self.rng.integers(2 ** 63)))
         self._batch_idx = 0

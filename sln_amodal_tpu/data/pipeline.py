@@ -231,7 +231,10 @@ class TrainLoader:
         return self._sample_stream_with(self.rng)
 
     def _sample_stream_with(self, rng) -> Iterator[Dict[str, np.ndarray]]:
-        ids = np.asarray(self.dataset.image_ids)
+        # private copy: shuffle is in-place, and the dataset's id array is
+        # shared across loaders and worker threads — shuffling the original
+        # would break same-seed reproducibility (and race between workers)
+        ids = np.array(self.dataset.image_ids, copy=True)
         while True:
             rng.shuffle(ids)
             for image_id in ids:

@@ -218,6 +218,32 @@ def test_prepare_sample_augment_flip_is_exact(synth):
     assert flipped_seen and unflipped_seen, "flip coin never landed both ways"
 
 
+def test_prepare_batch_sharded_matches_single(synth):
+    """SPMD data prep: on a 2-device mesh the prepared batch is sharded
+    batch-first AND numerically identical to the single-device program —
+    samples are independent, so sharding must not change any output."""
+    from sln_amodal_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    cfg = _prep_config().replace(batch_size=2)
+    mesh = make_mesh(jax.devices()[:2])
+
+    sharded = DevicePrepLoader(synth, cfg, seed=0, augment=False, workers=1,
+                               mesh=mesh)
+    single = DevicePrepLoader(synth, cfg, seed=0, augment=False, workers=1)
+    b_sh = next(iter(sharded))
+    b_1 = next(iter(single))
+
+    assert len(b_sh["images"].sharding.device_set) == 2
+    # batch dim split across the mesh (shard shape = [1, ...])
+    shard_shapes = {s.data.shape[0] for s in b_sh["images"].addressable_shards}
+    assert shard_shapes == {1}
+    for k in b_1:
+        np.testing.assert_array_equal(
+            np.asarray(b_sh[k]), np.asarray(b_1[k]), err_msg=k)
+
+
 def test_device_prep_loader_batches(synth):
     cfg = _prep_config().replace(batch_size=2)
     loader = DevicePrepLoader(synth, cfg, seed=0, augment=True, workers=1)

@@ -22,6 +22,35 @@ def tiny_cfg():
     )
 
 
+def test_train_loader_same_seed_reproducible(tmp_path):
+    """Two same-seed loaders over the same dataset yield identical batches,
+    and the dataset's image_ids array is not mutated (the shuffle used to
+    run in place on the shared array, so a second loader — or a concurrent
+    worker — started from a different base order)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from fixtures import make_synthetic_dataset
+    from sln_amodal_tpu.data.dataset import AmodalDataset
+    from sln_amodal_tpu.data.pipeline import TrainLoader
+
+    root = str(tmp_path)
+    make_synthetic_dataset(root, n_images=4, size=64, subset="train")
+    ds = AmodalDataset()
+    ds.load_amodal(root, "train")
+    ds.prepare()
+    ids_before = np.array(ds.image_ids, copy=True)
+
+    cfg = Config(image_size=64, name="repro").replace(batch_size=2)
+    batches = []
+    for _ in range(2):
+        it = iter(TrainLoader(ds, cfg, seed=7, augment=True, workers=1))
+        batches.append([next(it), next(it)])
+    np.testing.assert_array_equal(np.array(ds.image_ids), ids_before)
+    for a, b in zip(*batches):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 @pytest.mark.slow
 def test_roi_sampling_deterministic_per_seed():
     from sln_amodal_tpu.detect.targets import detection_target_layer
