@@ -146,10 +146,10 @@ def bench_train_step(config, variables, batch, iters=8):
 
 def bench_eval_pipeline(config, batch=8, n_images=32):
     """TRUE end-to-end eval throughput: the CLI's software-pipelined
-    ``Detector.dispatch → collect (unmold + mask paste) → build_coco_results
-    (RLE encode)`` loop on synthetic 1024² uint8 images — device AND host
-    wall-clock, matching the reference's operational metric
-    (``amodal_train.py:463-497``).
+    ``Detector.dispatch → collect_crops (unmold) → build_coco_results_crops
+    (RLE straight off the box crops)`` loop on synthetic 1024² uint8 images
+    — device AND host wall-clock, matching the reference's operational
+    metric (``amodal_train.py:463-497``).
 
     Uses the detection-biased checkpoint so every image carries a full
     detection table (~``detection_max_instances`` masks to unmold + encode —
@@ -157,7 +157,7 @@ def bench_eval_pipeline(config, batch=8, n_images=32):
     table IS the realistic per-image host load, not a worst case)."""
     import numpy as np
 
-    from sln_amodal_tpu.eval_amodal.coco_results import build_coco_results
+    from sln_amodal_tpu.eval_amodal.coco_results import build_coco_results_crops
     from sln_amodal_tpu.infer import Detector
     from sln_amodal_tpu.utils.synthetic import detection_biased_variables
 
@@ -175,9 +175,10 @@ def bench_eval_pipeline(config, batch=8, n_images=32):
 
     def drain(handle):
         nonlocal n_dets
-        for i, r in enumerate(det.collect(handle)):
-            n_dets += len(build_coco_results(
-                i + 1, r["rois"], r["class_ids"], r["scores"], r["masks"]))
+        for i, r in enumerate(det.collect_crops(handle)):
+            n_dets += len(build_coco_results_crops(
+                i + 1, r["rois"], r["class_ids"], r["scores"], r["crops"],
+                r["image_shape"]))
 
     drain(det.dispatch(batches[0]))  # compile + warm the host path
     assert n_dets > 0, "biased checkpoint produced no detections"

@@ -21,7 +21,7 @@ from ..config import inference_config, training_config
 from ..data.dataset import AmodalDataset, DetectionResults
 from ..data.pipeline import TrainLoader
 from ..eval_amodal.amodal_eval import AmodalEval, evaluate_sweep
-from ..eval_amodal.coco_results import build_coco_results
+from ..eval_amodal.coco_results import build_coco_results_crops
 from ..infer import Detector
 from ..models.sln import init_params
 from ..train import checkpoint as ckpt
@@ -119,11 +119,14 @@ def run_evaluate(args) -> None:
 
     def drain(entry):
         chunk, n_real, handle = entry
-        for image_id, r in zip(chunk, detector.collect(handle)[:n_real]):
+        # crops path: RLE straight from each box crop — identical result
+        # dicts to the full-frame path (build_coco_results_crops docstring)
+        for image_id, r in zip(chunk, detector.collect_crops(handle)[:n_real]):
             results.extend(
-                build_coco_results(
+                build_coco_results_crops(
                     dataset.image_info[image_id]["id"],
-                    r["rois"], r["class_ids"], r["scores"], r["masks"],
+                    r["rois"], r["class_ids"], r["scores"], r["crops"],
+                    r["image_shape"],
                 )
             )
 

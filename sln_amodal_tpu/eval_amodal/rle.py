@@ -67,6 +67,30 @@ def encode_counts(mask_f: np.ndarray) -> np.ndarray:
     return counts.astype(np.uint32)
 
 
+def encode_pasted_counts(crop: np.ndarray, y1: int, x1: int,
+                         H: int, W: int) -> np.ndarray:
+    """Run counts of an [H, W] frame equal to the binary row-major ``crop``
+    pasted at (y1, x1) into zeros — without materializing the frame
+    (O(box area) instead of O(frame area); bit-identical to
+    ``encode_counts`` of the pasted frame)."""
+    crop = np.ascontiguousarray(crop, np.uint8)
+    h, w = crop.shape
+    assert 0 <= y1 and 0 <= x1 and y1 + h <= H and x1 + w <= W, \
+        (y1, x1, h, w, H, W)
+    lib = _native()
+    if lib is not None:
+        # per frame column: <= h crop runs + 2 zero pads; +2 outer, +1 final
+        out = np.empty(w * (h + 2) + 3, np.uint32)
+        m = lib.sln_rle_encode_pasted(
+            _as_ptr(crop, ctypes.c_uint8), h, w, int(y1), int(x1),
+            int(H), int(W), _as_ptr(out, ctypes.c_uint32),
+        )
+        return out[:m].copy()
+    full = np.zeros((H, W), np.uint8)
+    full[y1:y1 + h, x1:x1 + w] = crop
+    return encode_counts(full)
+
+
 def decode_counts(counts: np.ndarray, h: int, w: int) -> np.ndarray:
     """Run counts → column-major uint8 [h, w] mask."""
     counts = _u32(counts)
@@ -235,6 +259,15 @@ def encode(mask: np.ndarray) -> Union[RLEDict, List[RLEDict]]:
     h, w = mask.shape
     counts = encode_counts(mask)
     return {"size": [int(h), int(w)], "counts": counts_to_string(counts)}
+
+
+def encode_pasted(crop: np.ndarray, y1: int, x1: int, H: int, W: int) -> RLEDict:
+    """RLE dict of ``crop`` pasted at (y1, x1) into an [H, W] zero frame
+    (see ``encode_pasted_counts``)."""
+    return {
+        "size": [int(H), int(W)],
+        "counts": counts_to_string(encode_pasted_counts(crop, y1, x1, H, W)),
+    }
 
 
 def decode(rle: Union[RLEDict, List[RLEDict]]) -> np.ndarray:

@@ -24,12 +24,20 @@ from .utils import image as image_utils
 @functools.lru_cache(maxsize=16)
 def _jitted_infer(config: Config, detect_only: bool):
     """One compiled inference program per (config, mode) — shared across
-    Detector instances so constructing a new Detector never recompiles."""
+    Detector instances so constructing a new Detector never recompiles.
+
+    Takes RESIZED uint8 images; the mean-pixel mold (``Functions.py:658-663``)
+    runs on device so the host uploads 4× fewer bytes (see
+    ``image_utils.mold_inputs``)."""
     model = SLNAmodal(config)
     method = SLNAmodal.infer_detect_only if detect_only else SLNAmodal.infer
-    return jax.jit(
-        lambda v, images, windows: model.apply(v, images, windows, method=method)
-    )
+    mean = jnp.asarray(config.mean_pixel, jnp.float32)
+
+    def run(v, images_u8, windows):
+        images = images_u8.astype(jnp.float32) - mean
+        return model.apply(v, images, windows, method=method)
+
+    return jax.jit(run)
 
 
 class Detector:
@@ -51,7 +59,10 @@ class Detector:
     def __init__(self, config: Config, variables: Dict[str, Any],
                  detect_only: bool = True):
         self.config = config
-        self.variables = variables
+        # commit params to the device ONCE: a host-numpy tree would be
+        # re-uploaded on every dispatch (~0.5 GB/call for the full model —
+        # measured 5.7 s/batch over the tunneled link before this)
+        self.variables = jax.device_put(variables)
         self.detect_only = detect_only
         self.last_global_label = None
         self._infer = _jitted_infer(config, detect_only)
@@ -93,6 +104,34 @@ class Detector:
                     "class_ids": class_ids,
                     "scores": scores,
                     "masks": full_masks,
+                }
+            )
+        return results
+
+    def collect_crops(self, pending: "PendingDetect") -> List[Dict[str, Any]]:
+        """Like ``collect`` but masks stay as binary box crops (``"crops"``:
+        list of [h, w] uint8) instead of pasted [H, W, N] frames — the
+        information-preserving form the eval path RLE-encodes directly
+        (``build_coco_results_crops``), skipping the O(frame area) paste
+        per detection."""
+        out = pending.out
+        detections = np.asarray(out.detections)
+        masks = np.asarray(out.masks)
+        if not self.detect_only:
+            self.last_global_label = np.asarray(out.global_label)
+
+        results = []
+        for i, image in enumerate(pending.images):
+            rois, class_ids, scores, crops = image_utils.unmold_detections_parts(
+                detections[i], masks[i], image.shape, pending.windows[i]
+            )
+            results.append(
+                {
+                    "rois": rois,
+                    "class_ids": class_ids,
+                    "scores": scores,
+                    "crops": crops,
+                    "image_shape": image.shape,
                 }
             )
         return results

@@ -68,6 +68,8 @@ def _bind(lib: ctypes.CDLL) -> None:
 
     lib.sln_rle_encode.restype = ctypes.c_int
     lib.sln_rle_encode.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u32p]
+    lib.sln_rle_encode_pasted.restype = ctypes.c_int
+    lib.sln_rle_encode_pasted.argtypes = [u8p] + [ctypes.c_int] * 6 + [u32p]
     lib.sln_rle_decode.restype = None
     lib.sln_rle_decode.argtypes = [u32p, ctypes.c_int, u8p, ctypes.c_long]
     lib.sln_rle_area.restype = ctypes.c_long

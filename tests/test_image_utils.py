@@ -33,10 +33,15 @@ def test_mold_roundtrip():
     cfg = Config(image_size=64)
     img = np.random.RandomState(0).randint(0, 255, (32, 48, 3), np.uint8)
     molded, windows = im.mold_inputs([img], cfg)
+    # uint8 resized frames: the mean subtraction happens on device
+    # (uint8 -> f32 is exact, so this is bit-identical to host molding)
     assert molded.shape == (1, 64, 64, 3)
+    assert molded.dtype == np.uint8
     assert windows[0].tolist() == [0, 0, 64, 64]
-    rec = im.unmold_image(molded[0], cfg.mean_pixel)
+    floated = im.mold_image(molded[0], cfg.mean_pixel)
+    rec = im.unmold_image(floated, cfg.mean_pixel)
     assert rec.dtype == np.uint8
+    np.testing.assert_array_equal(rec, molded[0])
 
 
 def test_image_meta_contract():
@@ -86,3 +91,15 @@ def test_unmold_detections_drops_zero_area():
     )
     assert len(scores) == 1
     assert scores[0] == np.float32(0.8)
+
+
+def test_pil_same_size_resize_is_identity():
+    """The scale-1 fast path in pil_resize_uint8 must be exactly what PIL
+    produces: bilinear at scale 1 is an identity."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 256, (57, 43, 3), np.uint8)
+    direct = np.asarray(Image.fromarray(a).resize((43, 57), Image.BILINEAR))
+    np.testing.assert_array_equal(direct, a)
+    np.testing.assert_array_equal(im.pil_resize_uint8(a, (57, 43)), a)

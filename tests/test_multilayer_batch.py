@@ -114,3 +114,36 @@ def test_detector_contract_batch_invariant():
         np.testing.assert_array_equal(s["masks"], b["masks"])
     for s, b in zip(out1, list(reversed(batched))):
         np.testing.assert_array_equal(s["rois"], b["rois"])
+
+
+def test_collect_crops_matches_full_path():
+    """The eval fast path (collect_crops → build_coco_results_crops) emits
+    result dicts identical to the reference-shaped full-frame path
+    (collect → build_coco_results) — same boxes, scores, and RLEs."""
+    from sln_amodal_tpu.config import inference_config
+    from sln_amodal_tpu.eval_amodal.coco_results import (
+        build_coco_results,
+        build_coco_results_crops,
+    )
+    from sln_amodal_tpu.infer import Detector
+    from test_e2e_ap_regression import biased_variables
+
+    # same config as test_detector_contract_batch_invariant so the jitted
+    # program is shared (lru key includes the config) — no extra compile
+    cfg = inference_config(image_size=64, name="batchinv")
+    det = Detector(cfg, biased_variables(cfg))
+    rng = np.random.RandomState(5)
+    images = [rng.randint(0, 255, (48, 80, 3), np.uint8)]
+
+    h = det.dispatch(images)
+    full = det.collect(h)[0]
+    h2 = det.dispatch(images)
+    crops = det.collect_crops(h2)[0]
+
+    a = build_coco_results(3, full["rois"], full["class_ids"],
+                           full["scores"], full["masks"])
+    b = build_coco_results_crops(3, crops["rois"], crops["class_ids"],
+                                 crops["scores"], crops["crops"],
+                                 crops["image_shape"])
+    assert len(a) > 0, "vacuous: no detections"
+    assert a == b

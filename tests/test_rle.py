@@ -119,3 +119,63 @@ def test_frpoly_matches_fallback():
 def test_native_library_loads():
     from sln_amodal_tpu.native.build import load_library
     assert load_library() is not None, "native RLE library failed to build"
+
+
+def test_encode_pasted_matches_full_frame():
+    """encode_pasted(crop, y1, x1, H, W) is bit-identical to encoding the
+    materialized pasted frame — across random boxes, edge-touching boxes,
+    the full-frame box, empty and all-ones crops, and a crop whose first
+    frame pixel is 1 (the leading zero-length run quirk)."""
+    rng = np.random.RandomState(0)
+    H, W = 37, 53
+    cases = []
+    for _ in range(10):
+        h, w = rng.randint(1, H + 1), rng.randint(1, W + 1)
+        y1, x1 = rng.randint(0, H - h + 1), rng.randint(0, W - w + 1)
+        cases.append((rng.randint(0, 2, (h, w)).astype(np.uint8), y1, x1))
+    cases += [
+        (np.ones((5, 4), np.uint8), 0, 0),          # first frame pixel is 1
+        (np.ones((H, W), np.uint8), 0, 0),          # full-frame box
+        (np.zeros((6, 6), np.uint8), 10, 10),       # empty crop
+        (np.ones((1, 1), np.uint8), H - 1, W - 1),  # last pixel only
+        (np.ones((H, 1), np.uint8), 0, W - 1),      # full right column
+    ]
+    for crop, y1, x1 in cases:
+        h, w = crop.shape
+        full = np.zeros((H, W), np.uint8)
+        full[y1:y1 + h, x1:x1 + w] = crop
+        expect = rle.encode_counts(full)
+        got = rle.encode_pasted_counts(crop, y1, x1, H, W)
+        np.testing.assert_array_equal(got, expect, err_msg=f"{(y1, x1, h, w)}")
+        d = rle.encode_pasted(crop, y1, x1, H, W)
+        assert d["size"] == [H, W]
+        assert d["counts"] == rle.counts_to_string(expect)
+
+
+def test_build_coco_results_crops_matches_full():
+    """The crops-based results builder emits dicts identical to the
+    full-frame builder for the same detections."""
+    from sln_amodal_tpu.eval_amodal.coco_results import (
+        build_coco_results,
+        build_coco_results_crops,
+    )
+
+    rng = np.random.RandomState(1)
+    H = Wd = 64
+    n = 5
+    rois = np.zeros((n, 4), np.int32)
+    crops = []
+    masks = np.zeros((H, Wd, n), np.uint8)
+    for i in range(n):
+        y1, x1 = rng.randint(0, 40, 2)
+        h, w = rng.randint(2, 20, 2)
+        rois[i] = [y1, x1, y1 + h, x1 + w]
+        c = rng.randint(0, 2, (h, w)).astype(np.uint8)
+        crops.append(c)
+        masks[y1:y1 + h, x1:x1 + w, i] = c
+    class_ids = np.ones(n, np.int32)
+    scores = rng.rand(n).astype(np.float32)
+
+    a = build_coco_results(7, rois, class_ids, scores, masks)
+    b = build_coco_results_crops(7, rois, class_ids, scores, crops, (H, Wd))
+    assert a == b

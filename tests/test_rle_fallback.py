@@ -62,3 +62,12 @@ def test_fallback_frpoly_matches_native():
     finally:
         rle._lib = saved
     np.testing.assert_array_equal(native, fb)
+
+
+def test_fallback_encode_pasted(no_native):
+    rng = np.random.RandomState(3)
+    crop = rng.randint(0, 2, (7, 5)).astype(np.uint8)
+    got = rle.encode_pasted_counts(crop, 4, 6, 20, 30)
+    full = np.zeros((20, 30), np.uint8)
+    full[4:11, 6:11] = crop
+    np.testing.assert_array_equal(got, rle.encode_counts(full))
