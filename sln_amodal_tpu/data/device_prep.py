@@ -354,6 +354,19 @@ class DevicePrepLoader(TrainLoader):
 
     def __init__(self, *args, mesh=None, **kwargs):
         super().__init__(*args, **kwargs)
+        # fail fast on legacy datasets: without .npz maps every sample
+        # would raise inside the workers and the containment loop would
+        # skip-and-spin forever instead of surfacing the real problem
+        import os
+        ids = self.dataset.image_ids
+        if len(ids):
+            probe = self.dataset.image_info[int(ids[0])]["path"][:-4] + ".npz"
+            if not os.path.exists(probe):
+                raise ValueError(
+                    "--device_prep needs sibling .npz sem-dist maps "
+                    f"(missing: {probe}); this dataset appears to use the "
+                    "legacy pickle .layer format — run scripts/"
+                    "convert_dataset.py encode, or drop --device_prep")
         self._prepare = make_prepare_batch(
             self.config, augment=self.augment, mesh=mesh)
         self._anchors_dev = jnp.asarray(self.anchors)

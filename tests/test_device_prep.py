@@ -262,3 +262,21 @@ def test_device_prep_loader_batches(synth):
     m = np.asarray(batch["rpn_match"])
     assert ((m == 1).sum(axis=1) <= cfg.rpn_train_anchors_per_image // 2).all()
     assert ((m != 0).sum(axis=1) <= cfg.rpn_train_anchors_per_image).all()
+
+
+def test_device_prep_loader_rejects_legacy_dataset(synth, tmp_path, monkeypatch):
+    """A dataset without .npz sem-dist maps (legacy .layer pickles) must be
+    rejected at construction with an actionable error, not skip-and-spin in
+    the worker loop."""
+    import os
+
+    cfg = _prep_config()
+    real = synth.image_info[int(synth.image_ids[0])]["path"]
+    missing = str(tmp_path / os.path.basename(real))
+    # point the first image at a location with no sibling .npz
+    import shutil
+    shutil.copy(real, missing)
+    monkeypatch.setitem(
+        synth.image_info[int(synth.image_ids[0])], "path", missing)
+    with pytest.raises(ValueError, match="device_prep"):
+        DevicePrepLoader(synth, cfg, seed=0, workers=1)
