@@ -225,6 +225,15 @@ def run_train(args) -> None:
             vl = trainer.validate(val_loader, steps=args.validate_steps)
             log("  val " + " ".join(f"{k}={v:.4f}" for k, v in sorted(vl.items())))
 
+    # a resume past the end of the requested schedule would otherwise run
+    # zero epochs and exit silently — say so instead of looking like a run
+    total_epochs = args.epochs if args.stage else 6  # 3-stage schedule: 2+3+1
+    if resume_epoch >= total_epochs:
+        log(f"--resume: checkpoint is at epoch {resume_epoch}, requested "
+            f"schedule ends at epoch {total_epochs} — nothing left to train "
+            "(raise --epochs or start a fresh --logs dir to continue)")
+        return
+
     if args.stage:
         trainer.epoch = resume_epoch
         trainer.train_stage(

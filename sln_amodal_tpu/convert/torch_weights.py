@@ -257,7 +257,16 @@ def load_reference_checkpoint(path: str, glm_path: str | None = None,
             tree["params"]["glm"] = convert_deeplab(glm_sd, prefix="")
         elif template is not None:
             # reference training requires deeplabv2.pth (amodal_train.py:612);
-            # fall back to the init so experiments without it still run
+            # fall back to the init so experiments without it still run —
+            # but loudly: random GLM priors make full-parity eval numbers
+            # meaningless
+            import sys
+            print(
+                f"WARNING: {path} has no GLM weights and no glm_path was "
+                "given (deeplabv2.pth not found?) — using RANDOM-INIT GLM. "
+                "Detection masks will not match the reference checkpoints.",
+                file=sys.stderr,
+            )
             tree["params"]["glm"] = template["params"]["glm"]
         else:
             raise ValueError("checkpoint lacks GLM weights; pass glm_path")

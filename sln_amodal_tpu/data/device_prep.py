@@ -35,14 +35,12 @@ route (``decode_layer_masks`` emits class 1 only), so the crowd branch of
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.anchors import config_anchors
 from ..utils import image as image_utils
 from . import semdist
 from .pipeline import TrainLoader

@@ -124,15 +124,6 @@ class Trainer:
             tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
         return tx
 
-    def template_state(self, stage, learning_rate: float,
-                       accumulate_steps: int = 1) -> TrainState:
-        """A TrainState with this stage's exact tree structure — the
-        deserialization template for :func:`checkpoint.restore_train_state`
-        (opt_state structure depends on the stage's trainable mask)."""
-        tx = self._make_tx(stage, learning_rate, accumulate_steps)
-        return TrainState(self.variables, tx.init(self.variables),
-                          jnp.zeros((), jnp.int32))
-
     def train_stage(self, loader: Iterable, stage: str, learning_rate: float,
                     epochs: int, steps_per_epoch: Optional[int] = None,
                     seed: int = 0, on_epoch_end=None,

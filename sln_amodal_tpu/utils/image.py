@@ -114,11 +114,8 @@ def mold_inputs(images: List[np.ndarray], config):
 def unmold_mask(mask: np.ndarray, bbox, image_shape) -> np.ndarray:
     """Paste one low-res mask into the full frame (utils.py:447-465)."""
     y1, x1, y2, x2 = [int(v) for v in bbox]
-    mask = np.squeeze(mask)
-    resized = imresize_float(mask, (y2 - y1, x2 - x1)).astype(np.float32) / 255.0
-    binary = np.where(resized >= 0.5, 1, 0).astype(np.uint8)
     full = np.zeros(image_shape[:2], dtype=np.uint8)
-    full[y1:y2, x1:x2] = binary
+    full[y1:y2, x1:x2] = unmold_crop(mask, bbox)
     return full
 
 
