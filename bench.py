@@ -21,6 +21,10 @@ Metrics:
   the CLI's pipelined dispatch/collect loop with host unmold + RLE encode
   of a full detection table per image, wall-clock (the BASELINE north-star
   operational metric; batch 8, full-parity graph).
+- ``train_pipeline_ms_b8``: wall-clock ms/step of the real training
+  pipeline (DevicePrepLoader with on-device target construction feeding
+  the jitted step) on synthetic 1024² data — the data-inclusive companion
+  to ``train_step_ms_b8``.
 - ``nms_kernel_ms_6000`` / ``aspp_kernel_ms_65sq``: the two custom-kernel
   hot ops at their production shapes (vs_baseline = speedup over the exact
   XLA-lowered alternative measured on the same chip).
@@ -195,6 +199,51 @@ def bench_eval_pipeline(config, batch=8, n_images=32):
     return n_images / dt
 
 
+def bench_train_pipeline(steps=8, batch=8, size=1024):
+    """Wall-clock ms/step of the REAL training pipeline: DevicePrepLoader
+    (file IO + label-map resize on host; sem-dist decode, bbox extraction,
+    augmentation, and RPN matching ON DEVICE) feeding the jitted heads-stage
+    train step, on a synthetic 1024² COCOA-style dataset. This is the
+    data-inclusive number the in-graph ``train_step_ms_b8`` excludes —
+    measured 10.0 s/step with the host-numpy loader vs 1.69 s with
+    on-device prep on this link (see COMPONENTS.md).
+
+    Times the SECOND epoch via on_epoch_end (the first absorbs program
+    cache load + loader warmup)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import jax
+    import numpy as np
+    from fixtures import make_synthetic_dataset
+    from sln_amodal_tpu.config import training_config
+    from sln_amodal_tpu.data.dataset import AmodalDataset
+    from sln_amodal_tpu.data.device_prep import DevicePrepLoader
+    from sln_amodal_tpu.models.sln import init_params
+    from sln_amodal_tpu.parallel.mesh import make_mesh
+    from sln_amodal_tpu.train.trainer import Trainer
+
+    root = "/tmp/bench_soak_ds"
+    make_synthetic_dataset(root, n_images=8, size=size)
+    dataset = AmodalDataset()
+    dataset.load_amodal(root, "train")
+    dataset.prepare()
+
+    config = training_config(image_size=size, batch_size=batch, name="soak")
+    trainer = Trainer(config, init_params(config, jax.random.PRNGKey(0)),
+                      mesh=make_mesh(jax.devices()[:1]))
+    loader = DevicePrepLoader(dataset, config, batch_size=batch, seed=0)
+
+    marks = []
+
+    def mark(epoch, params):
+        marks.append(time.perf_counter())
+
+    trainer.train_stage(loader, "heads", config.learning_rate, epochs=2,
+                        steps_per_epoch=steps, on_epoch_end=mark)
+    return (marks[1] - marks[0]) / steps * 1e3  # ms/step steady-state
+
+
 def bench_nms_kernel(iters=50):
     """Pallas greedy-NMS kernel at the production shape (6000 -> 1000)."""
     import jax.numpy as jnp
@@ -291,6 +340,13 @@ def main() -> None:
         ips = bench_eval_pipeline(config)
         emit("eval_pipeline_images_per_sec_1024", ips, "images/s",
              ips / REFERENCE_IMAGES_PER_SEC)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+    try:
+        ms = bench_train_pipeline()
+        # vs the reference's est. 1000 ms/step at batch 1 → 8000 ms for 8
+        emit("train_pipeline_ms_b8", ms, "ms/step",
+             8 * REFERENCE_TRAIN_STEP_MS / ms)
     except Exception:
         traceback.print_exc(file=sys.stderr)
 
