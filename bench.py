@@ -298,6 +298,24 @@ def main() -> None:
     variables = init_params(config, jax.random.PRNGKey(0))
 
     # --- secondary metrics (failures must not kill the headline) -----------
+    # The two wall-clock pipeline metrics run FIRST: they are sensitive to
+    # process state (live HBM buffers from other benches and long-lived
+    # tunnel sessions measurably slow host<->device transfers — observed
+    # 5.2 vs 10.5 img/s for the same eval loop late vs early in a run),
+    # while the in-graph fori_loop metrics below are immune to it.
+    try:
+        ips = bench_eval_pipeline(config)
+        emit("eval_pipeline_images_per_sec_1024", ips, "images/s",
+             ips / REFERENCE_IMAGES_PER_SEC)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+    try:
+        ms = bench_train_pipeline()
+        # vs the reference's est. 1000 ms/step at batch 1 → 8000 ms for 8
+        emit("train_pipeline_ms_b8", ms, "ms/step",
+             8 * REFERENCE_TRAIN_STEP_MS / ms)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
     try:
         ms = bench_train_step(config, variables, batch=1)
         emit("train_step_ms_b1", ms, "ms/step", REFERENCE_TRAIN_STEP_MS / ms)
@@ -336,20 +354,6 @@ def main() -> None:
              ips / REFERENCE_IMAGES_PER_SEC)
     except Exception:
         traceback.print_exc(file=sys.stderr)
-    try:
-        ips = bench_eval_pipeline(config)
-        emit("eval_pipeline_images_per_sec_1024", ips, "images/s",
-             ips / REFERENCE_IMAGES_PER_SEC)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-    try:
-        ms = bench_train_pipeline()
-        # vs the reference's est. 1000 ms/step at batch 1 → 8000 ms for 8
-        emit("train_pipeline_ms_b8", ms, "ms/step",
-             8 * REFERENCE_TRAIN_STEP_MS / ms)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-
     # --- headline: full-parity batch-1 inference (GLM on), printed last ----
     ips = bench_inference(config, variables, 1, "infer")
     emit("inference_images_per_sec_1024", ips, "images/s",
