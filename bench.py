@@ -210,29 +210,17 @@ def bench_train_pipeline(steps=8, batch=8, size=1024):
 
     Times the SECOND epoch via on_epoch_end (the first absorbs program
     cache load + loader warmup)."""
+    import os
     import sys
 
-    sys.path.insert(0, "tests")
-    import jax
-    import numpy as np
-    from fixtures import make_synthetic_dataset
-    from sln_amodal_tpu.config import training_config
-    from sln_amodal_tpu.data.dataset import AmodalDataset
-    from sln_amodal_tpu.data.device_prep import DevicePrepLoader
-    from sln_amodal_tpu.models.sln import init_params
-    from sln_amodal_tpu.parallel.mesh import make_mesh
-    from sln_amodal_tpu.train.trainer import Trainer
+    # exactly the pipeline scripts/train_soak.py validates (path set up
+    # relative to this file so the metric works from any cwd)
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from train_soak import build_soak_pipeline
 
-    root = "/tmp/bench_soak_ds"
-    make_synthetic_dataset(root, n_images=8, size=size)
-    dataset = AmodalDataset()
-    dataset.load_amodal(root, "train")
-    dataset.prepare()
-
-    config = training_config(image_size=size, batch_size=batch, name="soak")
-    trainer = Trainer(config, init_params(config, jax.random.PRNGKey(0)),
-                      mesh=make_mesh(jax.devices()[:1]))
-    loader = DevicePrepLoader(dataset, config, batch_size=batch, seed=0)
+    trainer, loader, config = build_soak_pipeline(
+        batch=batch, size=size, device_prep=True, root="/tmp/bench_soak_ds")
 
     marks = []
 
@@ -295,14 +283,14 @@ def main() -> None:
     from sln_amodal_tpu.models.sln import init_params
 
     config = inference_config(compute_dtype="bfloat16")
-    variables = init_params(config, jax.random.PRNGKey(0))
 
     # --- secondary metrics (failures must not kill the headline) -----------
     # The two wall-clock pipeline metrics run FIRST: they are sensitive to
     # process state (live HBM buffers from other benches and long-lived
     # tunnel sessions measurably slow host<->device transfers — observed
     # 5.2 vs 10.5 img/s for the same eval loop late vs early in a run),
-    # while the in-graph fori_loop metrics below are immune to it.
+    # while the in-graph fori_loop metrics below are immune to it. The
+    # shared random param tree is built only after them for the same reason.
     try:
         ips = bench_eval_pipeline(config)
         emit("eval_pipeline_images_per_sec_1024", ips, "images/s",
@@ -316,6 +304,8 @@ def main() -> None:
              8 * REFERENCE_TRAIN_STEP_MS / ms)
     except Exception:
         traceback.print_exc(file=sys.stderr)
+
+    variables = init_params(config, jax.random.PRNGKey(0))
     try:
         ms = bench_train_step(config, variables, batch=1)
         emit("train_step_ms_b1", ms, "ms/step", REFERENCE_TRAIN_STEP_MS / ms)

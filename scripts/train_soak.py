@@ -6,13 +6,51 @@ heads-stage epoch at the requested batch size through the REAL pipeline
 decreasing losses and recording step time.
 
 Usage: python scripts/train_soak.py [--batch 8] [--steps 50] [--size 1024]
+       [--device_prep]
+
+``build_soak_pipeline`` is also imported by bench.py (train_pipeline_ms_b8)
+so the benched pipeline is exactly the one this soak validates.
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+
+def build_soak_pipeline(batch=8, size=1024, device_prep=False,
+                        root="/tmp/soak_ds", name="soak"):
+    """(trainer, loader, config) for the synthetic training soak: a
+    synthetic COCOA-style dataset on disk, a single-device Trainer, and
+    the real loader (host-numpy TrainLoader, or DevicePrepLoader with
+    on-TPU target construction when ``device_prep``)."""
+    import jax
+
+    from fixtures import make_synthetic_dataset
+    from sln_amodal_tpu.config import training_config
+    from sln_amodal_tpu.data.dataset import AmodalDataset
+    from sln_amodal_tpu.data.pipeline import TrainLoader
+    from sln_amodal_tpu.models.sln import init_params
+    from sln_amodal_tpu.parallel.mesh import make_mesh
+    from sln_amodal_tpu.train.trainer import Trainer
+
+    make_synthetic_dataset(root, n_images=8, size=size)
+    dataset = AmodalDataset()
+    dataset.load_amodal(root, "train")
+    dataset.prepare()
+
+    config = training_config(image_size=size, batch_size=batch, name=name)
+    variables = init_params(config, jax.random.PRNGKey(0))
+    trainer = Trainer(config, variables, mesh=make_mesh(jax.devices()[:1]))
+    loader_cls = TrainLoader
+    if device_prep:
+        from sln_amodal_tpu.data.device_prep import DevicePrepLoader
+        loader_cls = DevicePrepLoader
+    loader = loader_cls(dataset, config, batch_size=batch, seed=0)
+    return trainer, loader, config
 
 
 def main():
@@ -29,32 +67,12 @@ def main():
 
     setup_runtime()
 
-    import jax
     import numpy as np
 
-    from fixtures import make_synthetic_dataset
-    from sln_amodal_tpu.config import training_config
-    from sln_amodal_tpu.data.dataset import AmodalDataset
-    from sln_amodal_tpu.data.pipeline import TrainLoader
-    from sln_amodal_tpu.models.sln import init_params
-    from sln_amodal_tpu.train.trainer import Trainer
-    from sln_amodal_tpu.parallel.mesh import make_mesh
-
-    make_synthetic_dataset(args.root, n_images=8, size=args.size)
-    dataset = AmodalDataset()
-    dataset.load_amodal(args.root, "train")
-    dataset.prepare()
-
-    config = training_config(
-        image_size=args.size, batch_size=args.batch, name="soak",
+    trainer, loader, config = build_soak_pipeline(
+        batch=args.batch, size=args.size, device_prep=args.device_prep,
+        root=args.root,
     )
-    variables = init_params(config, jax.random.PRNGKey(0))
-    trainer = Trainer(config, variables, mesh=make_mesh(jax.devices()[:1]))
-    loader_cls = TrainLoader
-    if args.device_prep:
-        from sln_amodal_tpu.data.device_prep import DevicePrepLoader
-        loader_cls = DevicePrepLoader
-    loader = loader_cls(dataset, config, batch_size=args.batch, seed=0)
 
     t0 = time.time()
     losses = trainer.train_stage(

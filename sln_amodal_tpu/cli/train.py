@@ -200,6 +200,22 @@ def run_train(args) -> None:
             log(f"--resume: no checkpoint under {args.logs}/{config.name} — "
                 "starting fresh")
 
+    # a resume at/past the end of the requested schedule would run zero
+    # epochs — say so (and bail before loading weights / building loaders)
+    if args.stage:
+        total_epochs = args.epochs
+        advice = "raise --epochs"
+    else:
+        from ..train.optim import StageSchedule
+        total_epochs = sum(e for _, _, e in
+                           StageSchedule(config.learning_rate).stages)
+        advice = "use --stage <stage> --epochs N"
+    if resume_epoch >= total_epochs:
+        log(f"--resume: checkpoint is at epoch {resume_epoch}, requested "
+            f"schedule ends at epoch {total_epochs} — nothing left to train "
+            f"({advice}, or start a fresh --logs dir)")
+        return
+
     variables = resolve_weights(args, config, template)
     print_network(variables, "sln_amodal")
 
@@ -224,15 +240,6 @@ def run_train(args) -> None:
             trainer.variables = params
             vl = trainer.validate(val_loader, steps=args.validate_steps)
             log("  val " + " ".join(f"{k}={v:.4f}" for k, v in sorted(vl.items())))
-
-    # a resume past the end of the requested schedule would otherwise run
-    # zero epochs and exit silently — say so instead of looking like a run
-    total_epochs = args.epochs if args.stage else 6  # 3-stage schedule: 2+3+1
-    if resume_epoch >= total_epochs:
-        log(f"--resume: checkpoint is at epoch {resume_epoch}, requested "
-            f"schedule ends at epoch {total_epochs} — nothing left to train "
-            "(raise --epochs or start a fresh --logs dir to continue)")
-        return
 
     if args.stage:
         trainer.epoch = resume_epoch
