@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="continue from the newest checkpoint in --logs: "
                         "params always, plus optimizer momentum/step when a "
                         ".state file exists (mid-stage resume)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="evaluate: shard each eval batch over ALL local "
+                        "devices (SPMD data-parallel serving; detections "
+                        "are identical to single-device, see "
+                        "test_sharded_infer)")
     p.add_argument("--device_prep", action="store_true",
                    help="build training targets (sem-dist decode, bboxes, "
                         "RPN matching) on the TPU instead of host numpy — "
@@ -102,7 +107,12 @@ def run_evaluate(args) -> None:
 
     template = init_params(config, jax.random.PRNGKey(args.seed))
     variables = resolve_weights(args, config, template)
-    detector = Detector(config, variables)
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh()
+        log(f"Data-parallel eval over {mesh.devices.size} device(s)")
+    detector = Detector(config, variables, mesh=mesh)
 
     image_ids = dataset.image_ids
     if args.limit and args.limit > 0:

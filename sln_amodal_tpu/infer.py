@@ -22,13 +22,20 @@ from .utils import image as image_utils
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_infer(config: Config, detect_only: bool):
-    """One compiled inference program per (config, mode) — shared across
-    Detector instances so constructing a new Detector never recompiles.
+def _jitted_infer(config: Config, detect_only: bool, mesh=None):
+    """One compiled inference program per (config, mode, mesh) — shared
+    across Detector instances so constructing a new Detector never
+    recompiles.
 
     Takes RESIZED uint8 images; the mean-pixel mold (``Functions.py:658-663``)
     runs on device so the host uploads 4× fewer bytes (see
-    ``image_utils.mold_inputs``)."""
+    ``image_utils.mold_inputs``).
+
+    With ``mesh`` (a 1-D ``('data',)`` ``jax.sharding.Mesh``) the program is
+    SPMD data-parallel: params replicated, the image batch sharded over the
+    mesh's first axis, every output batch-sharded — multi-chip serving with
+    XLA placing the per-device compute (the per-image pipeline is vmapped,
+    so no cross-image collectives are needed)."""
     model = SLNAmodal(config)
     method = SLNAmodal.infer_detect_only if detect_only else SLNAmodal.infer
     mean = jnp.asarray(config.mean_pixel, jnp.float32)
@@ -37,7 +44,16 @@ def _jitted_infer(config: Config, detect_only: bool):
         images = images_u8.astype(jnp.float32) - mean
         return model.apply(v, images, windows, method=method)
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+    from .parallel.mesh import batch_sharding, replicate
+
+    return jax.jit(
+        run,
+        in_shardings=(replicate(mesh), batch_sharding(mesh),
+                      batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
 
 
 class Detector:
@@ -54,18 +70,29 @@ class Detector:
     elides the frozen DeepLab forward entirely (see
     ``SLNAmodal.infer_detect_only``). Pass ``detect_only=False`` to also
     compute the GLM global label (exposed as ``last_global_label``).
+
+    ``mesh`` turns on SPMD data-parallel serving: each dispatch shards the
+    batch over the mesh (padding a ragged batch up to a multiple of the mesh
+    size; the pad rows are dropped on collect), params live replicated on
+    every device. Detections are identical to the single-device path
+    (``test_sharded_infer.py``).
     """
 
     def __init__(self, config: Config, variables: Dict[str, Any],
-                 detect_only: bool = True):
+                 detect_only: bool = True, mesh=None):
         self.config = config
-        # commit params to the device ONCE: a host-numpy tree would be
+        self.mesh = mesh
+        # commit params to the device(s) ONCE: a host-numpy tree would be
         # re-uploaded on every dispatch (~0.5 GB/call for the full model —
         # measured 5.7 s/batch over the tunneled link before this)
-        self.variables = jax.device_put(variables)
+        if mesh is None:
+            self.variables = jax.device_put(variables)
+        else:
+            from .parallel.mesh import replicate
+            self.variables = jax.device_put(variables, replicate(mesh))
         self.detect_only = detect_only
         self.last_global_label = None
-        self._infer = _jitted_infer(config, detect_only)
+        self._infer = _jitted_infer(config, detect_only, mesh)
 
     def dispatch(self, images: List[np.ndarray]) -> "PendingDetect":
         """Mold + launch the device program WITHOUT waiting for it.
@@ -77,6 +104,17 @@ class Detector:
         (``amodal_train.py:463-497``) never had."""
         cfg = self.config
         molded, windows = image_utils.mold_inputs(images, cfg)
+        if self.mesh is not None:
+            # sharding dim 0 over the mesh needs a divisible batch; pad by
+            # repeating the last row — collect only walks the real images,
+            # so pad outputs are never materialized on the host
+            n = self.mesh.devices.size
+            pad = (-len(images)) % n
+            if pad:
+                molded = np.concatenate(
+                    [molded, np.repeat(molded[-1:], pad, axis=0)])
+                windows = np.concatenate(
+                    [windows, np.repeat(windows[-1:], pad, axis=0)])
         out = self._infer(
             self.variables,
             jnp.asarray(molded),
