@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "RPN matching) on the TPU instead of host numpy — "
                         "~100x less host work per sample; equivalence pinned "
                         "by tests/test_device_prep")
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler device trace of the whole "
+                        "run into this directory (TensorBoard-loadable; "
+                        "keep the run small — pair with --limit or "
+                        "--steps_per_epoch)")
     return p
 
 
@@ -277,12 +282,21 @@ def main(argv=None) -> None:
     log(f"Command: {args.command}")
     log(f"Dataset: {args.dataset}")
     log(f"Model:   {args.model}")
-    if args.command == "train":
-        run_train(args)
-    elif args.command == "evaluate":
-        run_evaluate(args)
-    else:
-        print(f"'{args.command}' is not recognized. Use 'train' or 'evaluate'")
+    import contextlib
+
+    tracing = contextlib.nullcontext()
+    if getattr(args, "trace_dir", None):
+        from ..utils import profiling
+        tracing = profiling.trace(args.trace_dir)
+        log(f"Profiler trace → {args.trace_dir}")
+    with tracing:
+        if args.command == "train":
+            run_train(args)
+        elif args.command == "evaluate":
+            run_evaluate(args)
+        else:
+            print(f"'{args.command}' is not recognized. "
+                  "Use 'train' or 'evaluate'")
 
 
 if __name__ == "__main__":
