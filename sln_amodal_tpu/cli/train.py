@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "RPN matching) on the TPU instead of host numpy — "
                         "~100x less host work per sample; equivalence pinned "
                         "by tests/test_device_prep")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host training: host:port of process 0 "
+                        "(launch one process per host with --num_processes "
+                        "and --process_id; batches assemble into one global "
+                        "mesh, see parallel/multihost.py)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler device trace of the whole "
                         "run into this directory (TensorBoard-loadable; "
@@ -279,6 +286,13 @@ def main(argv=None) -> None:
 
     setup_runtime()
     args = build_parser().parse_args(argv)
+    if args.num_processes and args.num_processes > 1:
+        # must precede any backend initialization (device queries)
+        from ..parallel.multihost import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id)
+        log(f"Multi-host: process {jax.process_index()}/{jax.process_count()}"
+            f" — {len(jax.local_devices())} local / {len(jax.devices())}"
+            " global devices")
     log(f"Command: {args.command}")
     log(f"Dataset: {args.dataset}")
     log(f"Model:   {args.model}")

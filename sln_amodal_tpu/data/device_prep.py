@@ -352,6 +352,14 @@ class DevicePrepLoader(TrainLoader):
 
     def __init__(self, *args, mesh=None, **kwargs):
         super().__init__(*args, **kwargs)
+        if jax.process_count() > 1:
+            # the prep program takes host numpy, which a jit sharded over a
+            # multi-process mesh cannot accept directly; multi-host training
+            # uses the host-prep TrainLoader + multihost.global_batch
+            raise NotImplementedError(
+                "--device_prep is single-process-per-mesh for now; on "
+                "multi-host runs use the host-prep loader (drop "
+                "--device_prep)")
         # fail fast on legacy datasets: without .npz maps every sample
         # would raise inside the workers and the containment loop would
         # skip-and-spin forever instead of surfacing the real problem

@@ -208,7 +208,8 @@ class TrainLoader:
 
     def __init__(self, dataset, config, batch_size: Optional[int] = None,
                  seed: int = 0, augment: bool = True, prefetch: int = 4,
-                 workers: int = 4):
+                 workers: int = 4, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.dataset = dataset
         self.config = config
         self.batch_size = batch_size or config.batch_size
@@ -218,6 +219,11 @@ class TrainLoader:
         self.prefetch = prefetch
         self.workers = max(1, workers)
         self.error_count = 0
+        # multi-host: each process streams only its own dataset slice
+        # (parallel/multihost.py; single process ⇒ the full id list)
+        from ..parallel.multihost import partition_ids
+        self.local_ids = partition_ids(
+            dataset.image_ids, process_index, process_count)
 
     def _make_one_sample(self, image_id: int, rng) -> Optional[Dict[str, np.ndarray]]:
         """Per-image sample hook (overridden by
@@ -231,10 +237,10 @@ class TrainLoader:
         return self._sample_stream_with(self.rng)
 
     def _sample_stream_with(self, rng) -> Iterator[Dict[str, np.ndarray]]:
-        # private copy: shuffle is in-place, and the dataset's id array is
-        # shared across loaders and worker threads — shuffling the original
-        # would break same-seed reproducibility (and race between workers)
-        ids = np.array(self.dataset.image_ids, copy=True)
+        # private copy: shuffle is in-place, and the id array is shared
+        # across loaders and worker threads — shuffling the original would
+        # break same-seed reproducibility (and race between workers)
+        ids = np.array(self.local_ids, copy=True)
         while True:
             rng.shuffle(ids)
             for image_id in ids:

@@ -110,6 +110,16 @@ class Trainer:
         self.last_state: Optional[TrainState] = None  # full state after the last epoch
         self._jit_val_loss = None  # compiled once, reused across validate()
 
+    def _to_global(self, batch):
+        """Multi-host: assemble this process's local batch into global
+        batch-sharded arrays (parallel/multihost.py). Single process — the
+        common case — passes batches through untouched (jit's in_shardings
+        place them)."""
+        if jax.process_count() == 1:
+            return batch
+        from ..parallel.multihost import global_batch
+        return global_batch(batch, self.mesh)
+
     def _make_tx(self, stage, learning_rate: float,
                  accumulate_steps: int = 1) -> optax.GradientTransformation:
         cfg = self.config
@@ -167,7 +177,7 @@ class Trainer:
             # resumed at epoch k draws the same keys an uninterrupted run did
             rng = jax.random.fold_in(base_rng, epoch)
             for step in range(steps):
-                batch = next(it)
+                batch = self._to_global(next(it))
                 rng, sub = jax.random.split(rng)
                 state, losses = jit_step(state, sub, batch)
                 if step % 50 == 0 or step == steps - 1:
@@ -220,7 +230,7 @@ class Trainer:
         totals: Dict[str, float] = {}
         it = iter(loader)
         for _ in range(steps):
-            batch = next(it)
+            batch = self._to_global(next(it))
             rng, sub = jax.random.split(rng)
             losses = jit_loss(self.variables, sub, batch)
             for k, v in losses.items():

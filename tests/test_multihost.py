@@ -1,0 +1,153 @@
+"""Multi-host data parallelism (parallel/multihost.py).
+
+The reference vendors a DistributedSampler it never uses
+(modal/lib/utils/data/distributed.py); here per-process dataset
+partitioning + global-batch assembly are live. Unit tests pin the
+partition semantics and the single-process degradation; the integration
+test launches TWO real JAX processes (gloo CPU collectives) that form one
+global 4-device mesh and assemble per-process batches into one global
+sharded array.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import jax
+import numpy as np
+import pytest
+
+from sln_amodal_tpu.parallel import multihost
+from sln_amodal_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+# ------------------------------------------------------- partition_ids
+
+def test_partition_even_split_is_disjoint_cover():
+    ids = np.arange(12)
+    shards = [multihost.partition_ids(ids, i, 4) for i in range(4)]
+    assert all(len(s) == 3 for s in shards)
+    assert sorted(np.concatenate(shards).tolist()) == list(range(12))
+
+
+def test_partition_wraps_like_distributed_sampler():
+    # N=10, P=4 -> per=3, total=12: pad by wrapping ids[:2] to the front
+    # (reference modal/lib/utils/data/distributed.py:44-50)
+    ids = np.arange(10)
+    shards = [multihost.partition_ids(ids, i, 4) for i in range(4)]
+    assert all(len(s) == 3 for s in shards)
+    flat = np.concatenate(shards)
+    assert flat.tolist() == list(range(10)) + [0, 1]
+
+
+def test_partition_single_process_is_identity():
+    ids = np.arange(7)
+    np.testing.assert_array_equal(multihost.partition_ids(ids, 0, 1), ids)
+
+
+def test_partition_rejects_bad_rank():
+    with pytest.raises(ValueError):
+        multihost.partition_ids(np.arange(4), 2, 2)
+
+
+def test_initialize_single_process_is_noop():
+    multihost.initialize(num_processes=1)  # must not touch jax.distributed
+    multihost.initialize(num_processes=None)
+
+
+# ------------------------------------- single-process global_batch == put
+
+def test_global_batch_matches_shard_batch_single_process():
+    mesh = make_mesh()
+    batch = {
+        "images": np.random.default_rng(0).normal(
+            size=(8, 4, 4, 3)).astype(np.float32),
+        "ids": np.arange(8, dtype=np.int32),
+    }
+    g = multihost.global_batch(batch, mesh)
+    s = shard_batch(batch, mesh)
+    for k in batch:
+        assert g[k].sharding == s[k].sharding
+        np.testing.assert_array_equal(np.asarray(g[k]), np.asarray(s[k]))
+
+
+# ----------------------------------------------- loader partition wiring
+
+def test_train_loader_partitions_ids(tmp_path):
+    from tests.fixtures import make_synthetic_dataset
+    from sln_amodal_tpu.config import training_config
+    from sln_amodal_tpu.data.dataset import AmodalDataset
+    from sln_amodal_tpu.data.pipeline import TrainLoader
+
+    make_synthetic_dataset(str(tmp_path), n_images=5, size=32, subset="train")
+    ds = AmodalDataset()
+    ds.load_amodal(str(tmp_path), "train", data_type="COCO")
+    ds.prepare()
+    cfg = training_config(image_size=32, batch_size=1)
+
+    l0 = TrainLoader(ds, cfg, process_index=0, process_count=2, workers=1)
+    l1 = TrainLoader(ds, cfg, process_index=1, process_count=2, workers=1)
+    assert len(l0.local_ids) == len(l1.local_ids) == 3  # ceil(5/2), wrapped
+    union = set(l0.local_ids.tolist()) | set(l1.local_ids.tolist())
+    assert union == set(ds.image_ids.tolist())
+    # default (single process) keeps the full dataset
+    assert len(TrainLoader(ds, cfg, workers=1).local_ids) == 5
+
+
+# ------------------------------------------------ real 2-process launch
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    sys.path.insert(0, {repo!r})
+    from sln_amodal_tpu.parallel import multihost
+    from sln_amodal_tpu.parallel.mesh import make_mesh, batch_sharding
+
+    pid = int(sys.argv[1])
+    multihost.initialize("localhost:{port}", num_processes=2, process_id=pid)
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+    # each process owns a disjoint slice of the "dataset"
+    ids = multihost.partition_ids(np.arange(8))
+    assert ids.tolist() == ([0, 1, 2, 3] if pid == 0 else [4, 5, 6, 7])
+
+    # local batch (2 rows/process) -> global [4]-row sharded array
+    local = {{"x": (100.0 * pid + np.arange(2 * 3, dtype=np.float32)
+                   ).reshape(2, 3)}}
+    g = multihost.global_batch(local, make_mesh())
+    assert g["x"].shape == (4, 3)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    total = jax.jit(lambda b: b["x"].sum(),
+                    out_shardings=NamedSharding(make_mesh(), P()))(g)
+    # sum over both processes' rows: (0+..+5) + (100+..+105) = 15 + 615
+    np.testing.assert_allclose(float(total), 630.0)
+    print("WORKER_OK", pid)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_global_mesh(tmp_path):
+    import socket
+
+    with socket.socket() as s:  # free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(
+        repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        port=port))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"WORKER_OK {i}" in out
