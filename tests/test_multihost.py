@@ -129,17 +129,17 @@ _WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.slow
-def test_two_process_global_mesh(tmp_path):
+def _free_port():
     import socket
 
-    with socket.socket() as s:  # free port
+    with socket.socket() as s:
         s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+        return s.getsockname()[1]
+
+
+def _run_two_processes(tmp_path, worker_src):
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER.format(
-        repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        port=port))
+    script.write_text(worker_src)
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen([sys.executable, str(script), str(i)],
@@ -147,7 +147,80 @@ def test_two_process_global_mesh(tmp_path):
                          env=env, text=True)
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_global_mesh(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = _run_two_processes(
+        tmp_path, _WORKER.format(repo=repo, port=_free_port()))
+    for i, out in enumerate(outs):
         assert f"WORKER_OK {i}" in out
+
+
+_TRAIN_WORKER = textwrap.dedent("""
+    import json, os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    sys.path.insert(0, {repo!r})
+    from sln_amodal_tpu.parallel import multihost
+    from sln_amodal_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicate)
+    from sln_amodal_tpu.models.sln import SLNAmodal, init_params
+    from sln_amodal_tpu.train.optim import make_optimizer
+    from sln_amodal_tpu.train.trainer import TrainState, make_train_step
+    from tests.test_dp_scaling import fixed_batch, tiny_config
+
+    pid = int(sys.argv[1])
+    multihost.initialize("localhost:{port}", num_processes=2, process_id=pid)
+    assert len(jax.devices()) == 4
+
+    cfg = tiny_config()
+    model = SLNAmodal(cfg)
+    variables = init_params(cfg, jax.random.PRNGKey(0))  # same on both hosts
+    tx = make_optimizer(variables, "heads", cfg.learning_rate)
+    state = TrainState(variables, tx.init(variables),
+                       jnp.zeros((), jnp.int32))
+    mesh = make_mesh()
+    jit_step = jax.jit(
+        make_train_step(model, cfg, tx),
+        in_shardings=(replicate(mesh), replicate(mesh),
+                      batch_sharding(mesh)),
+        out_shardings=(replicate(mesh), replicate(mesh)),
+    )
+    # each process contributes its two rows of the SAME global batch the
+    # single-process oracle uses
+    local = {{k: v[pid * 2 : (pid + 1) * 2] for k, v in
+             fixed_batch(cfg).items()}}
+    batch = multihost.global_batch(local, mesh)
+    state, losses = jit_step(state, jax.random.PRNGKey(7), batch)
+    print("LOSSES", json.dumps({{k: float(v) for k, v in losses.items()}}))
+""")
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step_matches_single(tmp_path):
+    """The FULL jitted train step (forward + 6 losses + grads + SGD) over a
+    two-process global mesh reproduces the single-process step: gradient
+    psum crosses a real process boundary (gloo), not just virtual devices."""
+    import json
+
+    from tests.test_dp_scaling import one_step, tiny_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = _run_two_processes(
+        tmp_path, _TRAIN_WORKER.format(repo=repo, port=_free_port()))
+    ref_losses, _ = one_step(tiny_config(), 1)
+    for i, out in enumerate(outs):
+        lines = [l for l in out.splitlines() if l.startswith("LOSSES ")]
+        assert lines, f"process {i} printed no losses:\n{out}"
+        got = json.loads(lines[-1][len("LOSSES "):])
+        for k, v in ref_losses.items():
+            assert abs(v - got[k]) < 1e-5, (i, k, v, got[k])
