@@ -6,11 +6,15 @@ inference images/sec at 1024², GLM on) is printed LAST so tail-parsers pick
 it up.
 
 Metrics:
-- ``train_step_ms_b1`` / ``train_step_ms_b8``: full jitted training step
-  (forward + 6 losses + grads w.r.t. ALL params + clip + SGD) at 1024²,
-  batch 1 / 8, with the HEADS-stage optimizer — the reference recipe's
-  first stage (``amodal_train.py:636-641``); the all-stage update differs
-  only in how many tensors the momentum/weight-decay update touches.
+- ``train_step_ms_b1`` / ``train_step_ms_b8``: the HEADS-stage jitted
+  training step (forward + 6 losses + grads for the stage's trainable set
+  + clip + SGD) at 1024², batch 1 / 8 — the reference recipe's first stage
+  (``amodal_train.py:636-641``). The frozen backbone's backward is elided
+  via stop_gradient, matching the reference's ``requires_grad=False``.
+- ``train_step_all_ms_b8``: the same step at stage "all" — full backward
+  through every layer plus the all-tensor optimizer update (the directly
+  comparable successor of the round-2 ``train_step_ms_b8``, which computed
+  the full backward with the heads-stage optimizer).
 - ``inference_noglm_images_per_sec_1024``: the ``detect()`` contract with
   ``glm_elide_at_inference``: the frozen DeepLab forward skipped because the
   reference's pixel-coords quirk (``model.py:591``) zeroes its contribution
@@ -90,20 +94,24 @@ def bench_inference(config, variables, batch, method_name, iters=20):
     return batch / dt
 
 
-def bench_train_step(config, variables, batch, iters=8):
-    """Jitted train step, heads-stage optimizer (see module docstring)."""
+def bench_train_step(config, variables, batch, iters=8, stage="heads"):
+    """Jitted train step at the given stage (see module docstring): the
+    stage picks both the optimizer's trainable set and — via the
+    stop_gradient freeze in ``make_train_step`` — how deep the backward
+    runs ("heads" skips the whole ResNet-FPN backward, like the reference's
+    ``requires_grad=False`` stage 1; "all" is the full backward)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax import lax
 
     from sln_amodal_tpu.models.sln import SLNAmodal
-    from sln_amodal_tpu.train.optim import make_optimizer
+    from sln_amodal_tpu.train.optim import make_optimizer, trainable_mask
     from sln_amodal_tpu.train.trainer import TrainState, make_train_step
 
     cfg = config.replace(batch_size=batch)
     model = SLNAmodal(cfg)
-    tx = make_optimizer(variables, "heads", cfg.learning_rate)
+    tx = make_optimizer(variables, stage, cfg.learning_rate)
     state = TrainState(variables, tx.init(variables), jnp.zeros((), jnp.int32))
 
     s, g, l = cfg.image_size, cfg.max_gt_instances, cfg.num_layers
@@ -127,7 +135,8 @@ def bench_train_step(config, variables, batch, iters=8):
         "gt_masks": jnp.asarray(masks),
     }
 
-    step_fn = make_train_step(model, cfg, tx)
+    step_fn = make_train_step(
+        model, cfg, tx, trainable=trainable_mask(variables, stage))
 
     @jax.jit
     def run(state, key, data):
@@ -315,6 +324,12 @@ def main() -> None:
         ms = bench_train_step(config, variables, batch=8, iters=4)
         emit("train_step_ms_b8", ms, "ms/step",
              8 * REFERENCE_TRAIN_STEP_MS / ms)  # images/s advantage
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+    try:
+        ms = bench_train_step(config, variables, batch=8, iters=4, stage="all")
+        emit("train_step_all_ms_b8", ms, "ms/step",
+             8 * REFERENCE_TRAIN_STEP_MS / ms)
     except Exception:
         traceback.print_exc(file=sys.stderr)
     try:

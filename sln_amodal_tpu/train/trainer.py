@@ -25,7 +25,7 @@ from ..parallel.mesh import batch_sharding, make_mesh, replicate
 from ..utils.logging import StepTimer, log
 from . import checkpoint as ckpt_lib
 from . import losses as losses_lib
-from .optim import StageSchedule, make_optimizer
+from .optim import StageSchedule, make_optimizer, trainable_mask
 
 
 class TrainState(NamedTuple):
@@ -70,10 +70,38 @@ def batched_losses(config: Config, out, batch) -> Dict[str, jnp.ndarray]:
     return {k: jnp.mean(v) for k, v in per.items()}
 
 
-def make_train_step(model: SLNAmodal, config: Config, tx: optax.GradientTransformation):
+def make_train_step(model: SLNAmodal, config: Config,
+                    tx: optax.GradientTransformation, trainable: Any = None):
+    """One fused forward → losses → grad → update step.
+
+    ``trainable`` (optional) is a boolean pytree over ``params`` marking the
+    stage's trainable leaves (see :func:`optim.trainable_mask`). Frozen
+    leaves are ``stop_gradient``-ed *inside* the loss, so JAX never traces
+    their backward — the TPU-native equivalent of the reference setting
+    ``requires_grad = False`` before training
+    (``/root/reference/model.py:347-353``). Measured caveat: for the plain
+    jitted step the mask changes NOTHING at the XLA level — the optimizer
+    chain zeroes frozen grads before any consumer (``optim._zero_frozen``),
+    so XLA already dead-code-eliminates the frozen backward (heads-stage
+    step flops < all-stage flops with or without the mask). The mask earns
+    its keep where grads stay live before the zeroing: under
+    ``optax.MultiSteps`` accumulation the raw-grad accumulator defeats DCE
+    and only the stop_gradient freeze elides the frozen backward. Either
+    way the resulting update is bit-identical with or without the mask.
+    All three facts are pinned by ``tests/test_stopgrad_freeze.py``.
+    """
+    if trainable is not None:
+        def freeze(params):
+            return jax.tree_util.tree_map(
+                lambda p, m: p if m else jax.lax.stop_gradient(p),
+                params, trainable)
+    else:
+        def freeze(params):
+            return params
+
     def loss_fn(params, rng, batch):
         out = model.apply(
-            params,
+            freeze(params),
             rng,
             batch["images"],
             batch["gt_class_ids"],
@@ -150,7 +178,8 @@ class Trainer:
             state = ckpt_lib.restore_train_state(resume_state_path, state)
             self.variables = state.params
 
-        step_fn = make_train_step(self.model, cfg, tx)
+        step_fn = make_train_step(
+            self.model, cfg, tx, trainable=trainable_mask(self.variables, stage))
         if len(self.mesh.devices.reshape(-1)) > 1:
             data_sh = batch_sharding(self.mesh)
             repl = replicate(self.mesh)
