@@ -41,11 +41,14 @@ reference: 2.0 images/s inference, 1000 ms/step training at batch 1.
 
 Methodology: each metric compiles ONE program that runs the step N times in
 a ``lax.fori_loop`` with the next iteration's input data-dependent on the
-previous output, and fetches a scalar at the end. This measures true device
-throughput: per-call host dispatch on this platform goes through a tunnel
-with 3-60 ms RTT (decaying with warmup), which a Python-loop measurement
-conflates with device time; production serving pipelines batches/steps
-without a host round-trip per image, which the in-graph loop models.
+previous output, and fetches a scalar at the end. The loop's trip count is
+a runtime argument and each metric is timed at N and 2N trips — the
+difference eliminates the constant ~25 ms per-call transport latency of
+this tunneled platform, which a single-point T(N)/N would smear as +25/N ms
+per iteration (rounds 1-2 carried that bias: ~-4%% on the batch-1 headline,
+~-40%% on the NMS kernel number). See ``utils/benchmark.py``. Production
+serving pipelines batches/steps without a host round-trip per image, which
+the in-graph loop models.
 """
 
 import json

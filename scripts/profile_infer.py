@@ -133,3 +133,66 @@ det_boxes = jnp.clip(dets[..., :4], 0.0, float(s)) / float(s)
 loop_on("mask head (100 rois, zero prior)", lambda v, bx: model.apply(
     v, tuple(feats[:4]), bx, None, bx,
     method=lambda m, ff, b1, gp, b2: m._mask_on(ff, b1, gp, b2)), det_boxes)
+
+
+# ---- cumulative prefixes (round 3) ----------------------------------------
+# Isolated stage programs miss in-context costs (inter-stage layouts, fusion
+# boundaries, scheduling). Each prefix below runs stages 1..k end-to-end
+# from the image; consecutive deltas are the IN-CONTEXT cost of each stage.
+# GLM is elided so this decomposes the detect path (the GLM's in-context
+# cost is already pinned by [exact] - [elide-GLM] above).
+
+print("\n-- cumulative prefixes (elide-GLM detect path, in-context) --",
+      flush=True)
+
+from sln_amodal_tpu.detect.detection import refine_detections as _refine  # noqa: E402
+
+
+def _prefix(k):
+    def run(m, im):
+        cfg = m.config
+        p2, p3, p4, p5, p6 = m.fpn(im)
+        if k == 1:
+            return (p2, p3, p4, p5, p6)
+        _, probs, deltas = m._rpn_all_levels((p2, p3, p4, p5, p6))
+        if k == 2:
+            return (probs, deltas)
+        rois, valid = m._proposals(probs, deltas, cfg.post_nms_rois_inference)
+        if k == 3:
+            return (rois, valid)
+        _, cprobs, cdeltas = m._classifier_on((p2, p3, p4, p5), rois)
+        if k == 4:
+            return (cprobs, cdeltas)
+
+        def refine_one(rois_i, valid_i, probs_i, deltas_i):
+            return _refine(
+                rois_i, valid_i, probs_i, deltas_i,
+                (0.0, 0.0, float(cfg.image_size), float(cfg.image_size)),
+                image_size=cfg.image_size,
+                bbox_std_dev=cfg.rpn_bbox_std_dev,
+                max_instances=cfg.detection_max_instances,
+                min_confidence=cfg.detection_min_confidence,
+                use_nms=cfg.use_nms,
+                nms_threshold=cfg.detection_nms_threshold)
+
+        dets, dval = jax.vmap(refine_one)(rois, valid, cprobs, cdeltas)
+        if k == 5:
+            return (dets, dval)
+        det_px = jnp.clip(dets[..., :4], 0.0, float(cfg.image_size))
+        det_norm = det_px / float(cfg.image_size)
+        mask = m._mask_on((p2, p3, p4, p5), det_norm, None, det_px)
+        return (dets, dval, mask)
+
+    return run
+
+
+_prev = 0.0
+for _k, _name in [(1, "fpn"), (2, "+rpn"), (3, "+proposal"),
+                  (4, "+classifier"), (5, "+refine"), (6, "+mask")]:
+    _run = _prefix(_k)
+    _dt = _loop_time(
+        lambda x, v, r=_run: scalar(m_elide.apply(v, x, method=r)),
+        images, (variables,), iters=N) * 1e3
+    print(f"{_name:20s} cum {_dt:7.2f} ms   delta {_dt - _prev:7.2f} ms",
+          flush=True)
+    _prev = _dt
