@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "label (default: the detect() contract)")
     p.add_argument("--platforms", nargs="*", default=None,
                    help="lowering platforms (default: current backend)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="export an SPMD data-parallel artifact over this "
+                        "many devices (batch sharded, params replicated); "
+                        "0 = single-device")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -58,15 +62,21 @@ def main(argv=None) -> str:
     else:
         glm = args.glm_weights if os.path.exists(args.glm_weights) else None
         variables = ckpt.load_weights(args.model, template, glm_path=glm)
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices()[: args.mesh])
     out = export_detector(
         config, variables, args.out,
         batch=args.batch,
         detect_only=not args.full,
         platforms=args.platforms,
+        mesh=mesh,
     )
     log(f"Exported serving artifact → {out} "
         f"(batch {args.batch}, image {args.image_size}², "
-        f"{'full' if args.full else 'detect-only'})")
+        f"{'full' if args.full else 'detect-only'}"
+        f"{f', {args.mesh}-device SPMD' if mesh is not None else ''})")
     return out
 
 

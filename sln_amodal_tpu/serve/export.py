@@ -74,6 +74,7 @@ def export_detector(
     batch: int = 8,
     detect_only: bool = True,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
 ) -> str:
     """Export the inference program + params + manifest to ``out_dir``.
 
@@ -88,6 +89,10 @@ def export_detector(
             additionally returns the full-res GLM argmax label.
         platforms: lowering platforms (e.g. ``("tpu",)``); default = the
             current backend.
+        mesh: a 1-D ``('data',)`` ``jax.sharding.Mesh`` for an SPMD
+            data-parallel artifact (params replicated, batch sharded over
+            the mesh — multi-chip serving). The loading host must provide
+            the same number of devices; ``batch`` must divide by it.
 
     Returns ``out_dir``.
     """
@@ -96,7 +101,10 @@ def export_detector(
     _register_output_trees()
     os.makedirs(out_dir, exist_ok=True)
 
-    run = _jitted_infer(config, detect_only)
+    if mesh is not None and batch % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch {batch} not divisible by mesh size {mesh.devices.size}")
+    run = _jitted_infer(config, detect_only, mesh)
     s = config.image_size
     v_spec = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype),
@@ -120,6 +128,7 @@ def export_detector(
         "detect_only": detect_only,
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
+        "mesh_size": int(mesh.devices.size) if mesh is not None else 1,
         "outputs": list(
             (DetectOutputs if detect_only else InferenceOutputs)._fields),
     }
@@ -148,10 +157,14 @@ class ServingDetector(Detector):
     """
 
     def __init__(self, config: Config, variables: Any, exported, batch: int,
-                 detect_only: bool):
+                 detect_only: bool, mesh=None):
         self.config = config
-        self.mesh = None
-        self.variables = jax.device_put(variables)
+        self.mesh = mesh
+        if mesh is None:
+            self.variables = jax.device_put(variables)
+        else:
+            from ..parallel.mesh import replicate
+            self.variables = jax.device_put(variables, replicate(mesh))
         self.detect_only = detect_only
         self.last_global_label = None
         self.batch = batch
@@ -169,12 +182,23 @@ class ServingDetector(Detector):
             exported = jax_export.deserialize(f.read())
         with open(os.path.join(artifact_dir, PARAMS_FILE), "rb") as f:
             variables = flax.serialization.msgpack_restore(f.read())
+        mesh = None
+        mesh_size = int(manifest.get("mesh_size", 1))
+        if mesh_size > 1:
+            from ..parallel.mesh import make_mesh
+            devices = jax.devices()
+            if len(devices) < mesh_size:
+                raise ValueError(
+                    f"artifact was exported for a {mesh_size}-device mesh; "
+                    f"only {len(devices)} device(s) available")
+            mesh = make_mesh(devices[:mesh_size])
         return cls(
             _config_from_manifest(manifest["config"]),
             variables,
             exported,
             batch=int(manifest["batch"]),
             detect_only=bool(manifest["detect_only"]),
+            mesh=mesh,
         )
 
     def _padded_call(self, variables, images, windows):
@@ -189,6 +213,14 @@ class ServingDetector(Detector):
                 [images, jnp.repeat(images[-1:], pad, axis=0)])
             windows = jnp.concatenate(
                 [windows, jnp.repeat(windows[-1:], pad, axis=0)])
+        if self.mesh is not None:
+            # commit inputs to the exported program's batch sharding —
+            # uncommitted args would fail the multi-device calling
+            # convention's sharding check
+            from ..parallel.mesh import batch_sharding
+            sh = batch_sharding(self.mesh)
+            images = jax.device_put(images, sh)
+            windows = jax.device_put(windows, sh)
         out = self._call(variables, images, windows)
         if pad:
             out = jax.tree_util.tree_map(lambda a: a[:b], out)

@@ -128,3 +128,41 @@ def test_full_contract_exports_global_label(tmp_path):
     serving.detect(_images(1, cfg.image_size, seed=5))
     assert serving.last_global_label is not None
     assert serving.last_global_label.shape == (1, cfg.image_size, cfg.image_size)
+
+
+def test_sharded_artifact_matches_single_device(tmp_path):
+    from sln_amodal_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config()
+    variables = init_params(cfg, jax.random.PRNGKey(2))
+    mesh = make_mesh(jax.devices()[:4])
+    out = str(tmp_path / "spmd")
+    export_detector(cfg, variables, out, batch=4, detect_only=True, mesh=mesh)
+
+    import json
+    import os
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f)["mesh_size"] == 4
+
+    serving = ServingDetector.load(out)
+    assert serving.mesh is not None and serving.mesh.devices.size == 4
+    direct = Detector(cfg, variables)
+    images = _images(3, cfg.image_size, seed=7)   # ragged: pads 3 -> 4
+    got = serving.detect(images)
+    want = direct.detect(images)
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["rois"], w["rois"])
+        np.testing.assert_array_equal(g["scores"], w["scores"])
+        np.testing.assert_array_equal(g["masks"], w["masks"])
+
+
+def test_sharded_export_batch_divisibility():
+    from sln_amodal_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config()
+    variables = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(jax.devices()[:4])
+    with pytest.raises(ValueError, match="divisible"):
+        export_detector(cfg, variables, "/tmp/unused_spmd", batch=3,
+                        detect_only=True, mesh=mesh)
