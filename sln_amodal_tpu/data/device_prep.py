@@ -383,9 +383,58 @@ class DevicePrepLoader(TrainLoader):
     def _make_one_sample(self, image_id: int, rng):
         return encode_sample(self.dataset, self.config, image_id)
 
-    def __iter__(self):
+    def _dispatch_stream(self):
         for encoded in super().__iter__():
             key = jax.random.fold_in(self._key, self._batch_idx)
             self._batch_idx += 1
             keys = jax.random.split(key, self.batch_size)
             yield self._prepare(encoded, self._anchors_dev, keys)
+
+    def __iter__(self):
+        """Device-prefetching iterator: the host→device upload of the encoded
+        planes (~11 MB/sample) and the prep-program dispatch run on a
+        background thread, so batch N+1's transfer overlaps the train step on
+        batch N. The upload blocks the *calling* thread on this platform, so
+        without the thread the transfer serializes with the step even though
+        jit dispatch itself is async. Queue depth 1 bounds device memory to
+        one extra prepared batch in flight."""
+        import queue
+        import threading
+
+        inner = self._dispatch_stream()
+        q: queue.Queue = queue.Queue(maxsize=1)
+        stop = threading.Event()
+        fail: list = []
+
+        def put(item) -> bool:
+            """Blocking put that stays responsive to stop; False if stopped."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def dispatcher():
+            try:
+                for item in inner:
+                    if not put(item):
+                        return
+            except BaseException as e:  # surfaced on the consumer side
+                fail.append(e)
+            put(None)  # sentinel: stream exhausted (or failed — see fail)
+
+        t = threading.Thread(target=dispatcher, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    if fail:
+                        raise fail[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=2.0)

@@ -264,6 +264,34 @@ def test_device_prep_loader_batches(synth):
     assert ((m != 0).sum(axis=1) <= cfg.rpn_train_anchors_per_image).all()
 
 
+def test_device_prefetch_exhaustion_and_error(synth):
+    """The device-prefetch wrapper must terminate when the inner stream
+    exhausts (sentinel on normal completion — not hang on q.get) and must
+    re-raise an inner-stream failure on the consumer side."""
+    cfg = _prep_config().replace(batch_size=1)
+    loader = DevicePrepLoader(synth, cfg, seed=0, augment=False, workers=1)
+
+    finite = [{"x": i} for i in range(3)]
+    loader._dispatch_stream = lambda: iter(finite)
+    assert list(iter(loader)) == finite
+
+    def failing():
+        yield {"x": 0}
+        raise RuntimeError("inner stream died")
+
+    loader._dispatch_stream = failing
+    it = iter(loader)
+    assert next(it) == {"x": 0}
+    with pytest.raises(RuntimeError, match="inner stream died"):
+        next(it)
+
+    # early consumer break must not leak a stuck dispatcher thread
+    loader._dispatch_stream = lambda: iter(finite * 100)
+    it = iter(loader)
+    next(it)
+    it.close()
+
+
 def test_device_prep_loader_rejects_legacy_dataset(synth, tmp_path, monkeypatch):
     """A dataset without .npz sem-dist maps (legacy .layer pickles) must be
     rejected at construction with an actionable error, not skip-and-spin in
