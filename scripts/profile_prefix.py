@@ -7,11 +7,15 @@ cumulative PREFIXES of the real graph — fpn; fpn+rpn; +glm; +proposals;
 *in-context* cost (inter-stage layouts, fusion boundaries, scheduling)
 instead of its isolated cost.
 
-Run from the repo root: ``python scripts/profile_prefix.py``.
+Run from the repo root: ``python scripts/profile_prefix.py [batch]``.
+Per-stage times are reported per IMAGE (divided by batch) so batch-scaling
+of each stage is directly comparable across runs.
 """
 import sys
 
 sys.path.insert(0, ".")
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 
 import jax
 import jax.numpy as jnp
@@ -32,26 +36,33 @@ variables = init_params(config, jax.random.PRNGKey(0))
 
 s = config.image_size
 rng = np.random.RandomState(0)
-images = jnp.asarray(rng.randn(1, s, s, 3).astype(np.float32))
-window = (0.0, 0.0, float(s), float(s))
+images = jnp.asarray(rng.randn(BATCH, s, s, 3).astype(np.float32))
+# dynamic per-image windows, exactly as the real inference path threads them
+# (sln.py) — a baked Python tuple would let XLA constant-fold the window
+# clip in refine_detections and under-count the refine stage
+windows = jnp.tile(
+    jnp.asarray([[0.0, 0.0, float(s), float(s)]], jnp.float32), (BATCH, 1))
 
 N = 20
 
 
 def scalar(*trees):
+    # DCE guard only: sum a sparse stride of each kept intermediate so the
+    # guard itself costs ~nothing — a full-tensor sum would be paid by every
+    # prefix EXCEPT the final one and skew consecutive deltas
     return sum(
-        jnp.sum(v).astype(jnp.float32)
+        jnp.sum(v.ravel()[::4096]).astype(jnp.float32)
         for t in trees
         for v in jax.tree_util.tree_leaves(t)
     )
 
 
 def prefix(upto: str):
-    """Build a fn(images)->scalar running the real graph through stage
-    ``upto``; every intermediate needed later is also summed into the
+    """Build a fn(images, windows)->scalar running the real graph through
+    stage ``upto``; every intermediate needed later is also folded into the
     output so nothing is DCE'd."""
 
-    def run(m: SLNAmodal, x):
+    def run(m: SLNAmodal, x, wins):
         cfg = m.config
         p2, p3, p4, p5, p6 = m.fpn(x)
         feats = (p2, p3, p4, p5)
@@ -72,9 +83,9 @@ def prefix(upto: str):
         if upto == "classifier":
             return scalar(feats, glm_prior, rois, roi_valid, probs, deltas)
 
-        def refine_one(rois_i, valid_i, probs_i, deltas_i):
+        def refine_one(rois_i, valid_i, probs_i, deltas_i, window_i):
             return refine_detections(
-                rois_i, valid_i, probs_i, deltas_i, window,
+                rois_i, valid_i, probs_i, deltas_i, window_i,
                 image_size=cfg.image_size,
                 bbox_std_dev=cfg.rpn_bbox_std_dev,
                 max_instances=cfg.detection_max_instances,
@@ -83,7 +94,8 @@ def prefix(upto: str):
                 nms_threshold=cfg.detection_nms_threshold,
             )
 
-        detections, det_valid = jax.vmap(refine_one)(rois, roi_valid, probs, deltas)
+        detections, det_valid = jax.vmap(refine_one)(
+            rois, roi_valid, probs, deltas, wins)
         if upto == "refine":
             return scalar(feats, glm_prior, detections, det_valid)
 
@@ -100,12 +112,14 @@ def prefix(upto: str):
 
 STAGES = ["fpn", "rpn", "glm", "proposals", "classifier", "refine", "mask"]
 prev = 0.0
+print(f"batch={BATCH}; all times per image")
 for st in STAGES:
     fn = prefix(st)
     dt = loop_time(
-        lambda x, v: model.apply(v, x, method=lambda m, xx: fn(m, xx)),
-        images, (variables,), iters=N,
-    )
+        lambda x, v, w: model.apply(
+            v, x, w, method=lambda m, xx, ww: fn(m, xx, ww)),
+        images, (variables, windows), iters=N,
+    ) / BATCH
     print(f"prefix ..{st:12s} {dt * 1e3:8.2f} ms  (+{(dt - prev) * 1e3:6.2f})",
           flush=True)
     prev = dt
