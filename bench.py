@@ -32,8 +32,18 @@ Metrics:
 - ``nms_kernel_ms_6000`` / ``aspp_kernel_ms_65sq``: the two custom-kernel
   hot ops at their production shapes (vs_baseline = speedup over the exact
   XLA-lowered alternative measured on the same chip).
+- ``train_step_mfu_b8`` / ``inference_mfu_b1``: model FLOPs utilization —
+  HLO cost-analysis FLOPs of the program divided by measured time, over the
+  197 TFLOP/s bf16 peak of one v5e chip. Best-effort: if the platform can't
+  produce a cost analysis the MFU record carries an ``error`` field and the
+  companion timing metric is unaffected.
 - ``inference_images_per_sec_1024``: full graph (GLM on: DeepLab-MSC @513,
   scales 1/0.5/0.75), batch 1 — comparable across rounds. HEADLINE.
+
+Every metric runs under ``run_metric``: bounded retries (3 attempts with
+backoff) against transport flakes, and an explicit
+``{"metric": ..., "error": ...}`` JSON record on final failure — a missing
+number is visible, never silently absent.
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` uses our
 documented estimates for the PyTorch-0.4 single-GPU (8 GB, 2019-era)
@@ -51,6 +61,7 @@ serving pipelines batches/steps without a host round-trip per image, which
 the in-graph loop models.
 """
 
+import gc
 import json
 import sys
 import time
@@ -58,6 +69,7 @@ import traceback
 
 REFERENCE_IMAGES_PER_SEC = 2.0   # estimated reference inference throughput
 REFERENCE_TRAIN_STEP_MS = 1000.0  # estimated reference train step, batch 1
+PEAK_BF16_FLOPS = 197e12  # TPU v5e ("TPU v5 lite") MXU peak, bf16
 
 
 def emit(metric, value, unit, vs_baseline):
@@ -69,6 +81,64 @@ def emit(metric, value, unit, vs_baseline):
     }), flush=True)
 
 
+def run_metric(name, fn, retries=3):
+    """Run one metric with bounded retries against transport flakes.
+
+    The round-3 bench lost its most important number to a single
+    ``JaxRuntimeError: remote_compile ... body closed`` swallowed by a bare
+    except. Now: retry up to ``retries`` times with backoff, and on final
+    failure emit an explicit ``{"metric": ..., "error": ...}`` record so a
+    missing value is visible in the JSON instead of silently absent.
+    Returns the metric value, or None after final failure.
+
+    Keeps only the exception's ``repr`` — holding the exception object
+    would pin its traceback frames and every device array they reference
+    (states, batches), which is exactly how one failed metric cascaded
+    into RESOURCE_EXHAUSTED for every later metric in the round-4 dry
+    run. The ``gc.collect()`` below runs after the handler exits (the
+    interpreter has dropped the traceback by then) so the freed HBM is
+    actually returned before the retry re-allocates."""
+    last = None
+    for attempt in range(retries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — must survive infra flakes
+            last = repr(e)[:300]
+            traceback.print_exc(file=sys.stderr)
+            print(f"[bench] {name}: attempt {attempt + 1}/{retries} "
+                  f"failed: {last}", file=sys.stderr, flush=True)
+        gc.collect()
+        time.sleep(2.0 * (attempt + 1))
+    print(json.dumps({"metric": name, "error": last}), flush=True)
+    return None
+
+
+def program_flops(fn, *args):
+    """HLO cost-analysis FLOPs of ``jit(fn)(*args)``, or None if the
+    platform can't provide them (the MFU metric is then skipped — the
+    timing metric must never die with it).
+
+    ``Lowered.cost_analysis()`` is pure client-side (no device compile)
+    and works on CPU, but returns None on the tunneled axon TPU platform;
+    there we fall back to ``Compiled.cost_analysis()``, which costs one
+    remote compile of the bare program (persistently cached across runs)."""
+    import jax
+
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        ca = lowered.cost_analysis()
+        if ca is None:
+            ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if not ca or "flops" not in ca:
+            return None
+        return float(ca["flops"])
+    except Exception:  # noqa: BLE001 — MFU is best-effort, timing is not
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
 def _rand_images(batch, size, seed=0):
     import numpy as np
 
@@ -77,7 +147,8 @@ def _rand_images(batch, size, seed=0):
     return rng.uniform(-120.0, 130.0, size=(batch, size, size, 3)).astype("float32")
 
 
-def bench_inference(config, variables, batch, method_name, iters=20):
+def bench_inference(config, variables, batch, method_name, iters=20,
+                    with_flops=False):
     import jax.numpy as jnp
 
     from sln_amodal_tpu.models.sln import SLNAmodal
@@ -90,14 +161,16 @@ def bench_inference(config, variables, batch, method_name, iters=20):
     windows = jnp.tile(
         jnp.asarray([[0.0, 0.0, float(s), float(s)]], jnp.float32), (batch, 1)
     )
-    dt = loop_time(
-        lambda x, v: model.apply(v, x, windows, method=method),
-        images, (variables,), iters=iters,
-    )
+    fn = lambda x, v: model.apply(v, x, windows, method=method)  # noqa: E731
+    dt = loop_time(fn, images, (variables,), iters=iters)
+    if with_flops:
+        flops = program_flops(fn, images, variables)
+        return batch / dt, (flops / dt if flops else None)
     return batch / dt
 
 
-def bench_train_step(config, variables, batch, iters=8, stage="heads"):
+def bench_train_step(config, variables, batch, iters=8, stage="heads",
+                     with_flops=False):
     """Jitted train step at the given stage (see module docstring): the
     stage picks both the optimizer's trainable set and — via the
     stop_gradient freeze in ``make_train_step`` — how deep the backward
@@ -157,7 +230,12 @@ def bench_train_step(config, variables, batch, iters=8, stage="heads"):
     t0 = time.perf_counter()
     float(run(state, jax.random.PRNGKey(1), batch_data))
     dt = time.perf_counter() - t0
-    return dt / iters * 1e3  # ms/step
+    ms = dt / iters * 1e3  # ms/step
+    if with_flops:
+        flops = program_flops(
+            step_fn, state, jax.random.PRNGKey(2), batch_data)
+        return ms, (flops / (ms / 1e3) if flops else None)
+    return ms
 
 
 def bench_eval_pipeline(config, batch=8, n_images=32):
@@ -303,67 +381,82 @@ def main() -> None:
     # 5.2 vs 10.5 img/s for the same eval loop late vs early in a run),
     # while the in-graph fori_loop metrics below are immune to it. The
     # shared random param tree is built only after them for the same reason.
-    try:
-        ips = bench_eval_pipeline(config)
+    # Every metric runs under run_metric: bounded retries vs transport
+    # flakes, explicit error record in the JSON on final failure.
+    ips = run_metric("eval_pipeline_images_per_sec_1024",
+                     lambda: bench_eval_pipeline(config))
+    if ips is not None:
         emit("eval_pipeline_images_per_sec_1024", ips, "images/s",
              ips / REFERENCE_IMAGES_PER_SEC)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-    try:
-        ms = bench_train_pipeline()
+    ms = run_metric("train_pipeline_ms_b8", bench_train_pipeline)
+    if ms is not None:
         # vs the reference's est. 1000 ms/step at batch 1 → 8000 ms for 8
         emit("train_pipeline_ms_b8", ms, "ms/step",
              8 * REFERENCE_TRAIN_STEP_MS / ms)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
 
     variables = init_params(config, jax.random.PRNGKey(0))
-    try:
-        ms = bench_train_step(config, variables, batch=1)
+    ms = run_metric("train_step_ms_b1",
+                    lambda: bench_train_step(config, variables, batch=1))
+    if ms is not None:
         emit("train_step_ms_b1", ms, "ms/step", REFERENCE_TRAIN_STEP_MS / ms)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-    try:
-        ms = bench_train_step(config, variables, batch=8, iters=4)
+    ms = run_metric(
+        "train_step_ms_b8",
+        lambda: bench_train_step(config, variables, batch=8, iters=4))
+    if ms is not None:
         emit("train_step_ms_b8", ms, "ms/step",
              8 * REFERENCE_TRAIN_STEP_MS / ms)  # images/s advantage
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-    try:
-        ms = bench_train_step(config, variables, batch=8, iters=4, stage="all")
+    res = run_metric(
+        "train_step_all_ms_b8",
+        lambda: bench_train_step(config, variables, batch=8, iters=4,
+                                 stage="all", with_flops=True))
+    if res is not None:
+        ms, flops_per_sec = res
         emit("train_step_all_ms_b8", ms, "ms/step",
              8 * REFERENCE_TRAIN_STEP_MS / ms)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-    try:
-        ms = bench_nms_kernel()
+        if flops_per_sec is not None:
+            mfu = flops_per_sec / PEAK_BF16_FLOPS
+            emit("train_step_mfu_b8", mfu, "fraction_of_peak", mfu)
+        else:
+            print(json.dumps({"metric": "train_step_mfu_b8",
+                              "error": "cost_analysis unavailable"}),
+                  flush=True)
+    ms = run_metric("nms_kernel_ms_6000", bench_nms_kernel)
+    if ms is not None:
         # vs the exact XLA scalar-loop implementation (10.4 ms measured)
         emit("nms_kernel_ms_6000", ms, "ms", 10.4 / ms)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-    try:
-        ms = bench_aspp_kernel(config, variables)
+    ms = run_metric("aspp_kernel_ms_65sq",
+                    lambda: bench_aspp_kernel(config, variables))
+    if ms is not None:
         # vs XLA's dilated-conv lowering of the same op (7.18 ms measured)
         emit("aspp_kernel_ms_65sq", ms, "ms", 7.18 / ms)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-    try:
-        ips = bench_inference(
+    ips = run_metric(
+        "inference_noglm_images_per_sec_1024",
+        lambda: bench_inference(
             config.replace(glm_elide_at_inference=True), variables, 1,
-            "infer_detect_only",
-        )
+            "infer_detect_only"))
+    if ips is not None:
         emit("inference_noglm_images_per_sec_1024", ips, "images/s",
              ips / REFERENCE_IMAGES_PER_SEC)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-    try:
-        ips = bench_inference(config, variables, 8, "infer", iters=4)
+    ips = run_metric(
+        "inference_batch8_images_per_sec_1024",
+        lambda: bench_inference(config, variables, 8, "infer", iters=4))
+    if ips is not None:
         emit("inference_batch8_images_per_sec_1024", ips, "images/s",
              ips / REFERENCE_IMAGES_PER_SEC)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
     # --- headline: full-parity batch-1 inference (GLM on), printed last ----
-    ips = bench_inference(config, variables, 1, "infer")
+    res = run_metric(
+        "inference_images_per_sec_1024",
+        lambda: bench_inference(config, variables, 1, "infer",
+                                with_flops=True))
+    if res is None:
+        raise SystemExit("headline metric failed after retries")
+    ips, flops_per_sec = res
+    if flops_per_sec is not None:
+        mfu = flops_per_sec / PEAK_BF16_FLOPS
+        emit("inference_mfu_b1", mfu, "fraction_of_peak", mfu)
+    else:
+        print(json.dumps({"metric": "inference_mfu_b1",
+                          "error": "cost_analysis unavailable"}), flush=True)
     emit("inference_images_per_sec_1024", ips, "images/s",
          ips / REFERENCE_IMAGES_PER_SEC)
 

@@ -53,6 +53,64 @@ def test_jit_composable():
     assert dt >= 0
 
 
+def _bench_module():
+    import importlib
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    return importlib.import_module("bench")
+
+
+def test_run_metric_retries_then_succeeds(capsys):
+    bench = _bench_module()
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transport flake")
+        return 42.0
+
+    import time as _time
+    orig_sleep = _time.sleep
+    _time.sleep = lambda *_: None  # no backoff delay in tests
+    try:
+        assert bench.run_metric("m", flaky) == 42.0
+    finally:
+        _time.sleep = orig_sleep
+    assert calls["n"] == 3
+    assert capsys.readouterr().out == ""  # no error record on success
+
+
+def test_run_metric_emits_error_record(capsys):
+    bench = _bench_module()
+
+    def always_fails():
+        raise RuntimeError("down for good")
+
+    import json
+    import time as _time
+    orig_sleep = _time.sleep
+    _time.sleep = lambda *_: None
+    try:
+        assert bench.run_metric("m", always_fails, retries=2) is None
+    finally:
+        _time.sleep = orig_sleep
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["metric"] == "m"
+    assert "down for good" in rec["error"]
+
+
+def test_program_flops_matches_matmul():
+    bench = _bench_module()
+    x = jnp.ones((64, 64))
+    flops = bench.program_flops(lambda a: a @ a, x)
+    assert flops == 2 * 64**3
+
+
 def test_constant_overhead_eliminated():
     # the two-point method must report per-iter cost, not per-call cost:
     # a heavy step's time should not shrink when iters doubles (within
