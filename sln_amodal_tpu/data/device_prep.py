@@ -48,6 +48,14 @@ from .pipeline import TrainLoader
 NOBJ = 32  # sem-dist object slots (bit-field width per 32-bit half)
 
 
+def rle_budget_for(size: int) -> int:
+    """Static run budget for the RLE-encoded upload of a [size, size] label
+    map: 32 runs per row on average (a row's run count is bounded by twice
+    the objects it crosses, and the bit-field holds 32 object slots, so 32/
+    row is generous for real layouts). Capped at size² (every-pixel runs)."""
+    return min(size * size, 32 * size)
+
+
 # --------------------------------------------------------------------- host
 
 
@@ -71,10 +79,45 @@ def downsample_label_map(label_map: np.ndarray, size: int) -> np.ndarray:
     return label_map[zoom0_indices(h, size)][:, zoom0_indices(w, size)]
 
 
+def rle_encode_map(small: np.ndarray, budget: int):
+    """Row-major RLE of a [S, S] uint64 label map for the H2D upload.
+
+    Returns ``(starts [budget] int32, lo [budget] uint32, hi [budget]
+    uint32, n_runs int32)``. Padding runs have ``start == S*S`` (zero
+    length on device). When the map needs more than ``budget`` runs the
+    arrays hold only the first ``budget`` runs — ``n_runs`` tells the
+    loader to take the dense-upload path instead.
+
+    Sem-dist maps are spatially coherent (objects are contiguous regions),
+    so a 1024² map is typically a few thousand runs — ~20-40x fewer bytes
+    on the tunneled host→device link than the 8 MB dense uint32 planes,
+    which round 3 measured as the train-pipeline bottleneck (2353 ms/step
+    of which ~85% was the encoded-batch upload)."""
+    flat = small.ravel()
+    change = np.flatnonzero(flat[1:] != flat[:-1]).astype(np.int64) + 1
+    n_runs = change.shape[0] + 1
+    starts = np.full((budget,), flat.size, np.int32)
+    lo = np.zeros((budget,), np.uint32)
+    hi = np.zeros((budget,), np.uint32)
+    k = min(n_runs, budget)
+    starts[0] = 0
+    starts[1:k] = change[: k - 1]
+    vals = flat[starts[:k].astype(np.int64)]
+    lo[:k] = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi[:k] = (vals >> np.uint64(32)).astype(np.uint32)
+    return starts, lo, hi, np.int32(n_runs)
+
+
 def encode_sample(dataset, config, image_id: int) -> Optional[Dict[str, np.ndarray]]:
     """Light host-side encoding of one training sample (file IO + resize
     only). Returns None if the image has no objects (oracle-path parity:
-    ``make_training_sample`` skips those)."""
+    ``make_training_sample`` skips those).
+
+    Carries BOTH upload formats of the label map: the RLE runs (small —
+    what actually ships over the link in the common case) and the dense
+    uint32 planes (the fallback when a sample's run count exceeds the
+    static budget; also the equivalence oracle). The dispatch stream picks
+    one per batch; the other never leaves the host."""
     image = dataset.load_image(image_id)
     image, _, _, _ = image_utils.resize_image(image, config.image_size)
 
@@ -87,15 +130,33 @@ def encode_sample(dataset, config, image_id: int) -> Optional[Dict[str, np.ndarr
     if n_objects == 0:
         return None
     small = downsample_label_map(label_map, config.image_size)
+    starts, lo, hi, n_runs = rle_encode_map(
+        small, rle_budget_for(config.image_size))
     return {
         "image": np.ascontiguousarray(image, np.uint8),
         "label_lo": (small & np.uint64(0xFFFFFFFF)).astype(np.uint32),
         "label_hi": (small >> np.uint64(32)).astype(np.uint32),
+        "run_starts": starts,
+        "run_lo": lo,
+        "run_hi": hi,
+        "n_runs": n_runs,
         "n_objects": np.int32(n_objects),
     }
 
 
 # ------------------------------------------------------------------- device
+
+
+def runs_to_planes(starts, lo, hi, size: int):
+    """Reconstruct the dense [size, size] uint32 planes from RLE runs, on
+    device. Padding runs (``start == size*size``) get zero count, so the
+    static-budget padding is free. ``jnp.repeat`` with a static
+    ``total_repeat_length`` keeps the program shape-static."""
+    total = size * size
+    counts = jnp.diff(starts, append=jnp.int32(total))
+    plane_lo = jnp.repeat(lo, counts, total_repeat_length=total)
+    plane_hi = jnp.repeat(hi, counts, total_repeat_length=total)
+    return plane_lo.reshape(size, size), plane_hi.reshape(size, size)
 
 
 def _decode_masks(label_lo, label_hi, n_objects, num_layers):
@@ -305,10 +366,16 @@ def prepare_sample(image_u8, label_lo, label_hi, n_objects, anchors, key,
     }
 
 
-def make_prepare_batch(config, augment: bool = True, mesh=None):
+def make_prepare_batch(config, augment: bool = True, mesh=None,
+                       rle: bool = False):
     """Jitted ``(encoded batch dict, anchors [A,4], keys [B,2]) → batch
     dict``. ``lax.map`` over the batch bounds live temporaries to one
     sample's working set (the [NOBJ, L, S, S] decode broadcast).
+
+    ``rle=True`` takes the run-length-encoded batch format
+    (``run_starts``/``run_lo``/``run_hi`` instead of the dense planes) and
+    reconstructs the planes on device first — same outputs, ~20-40x fewer
+    bytes over the host→device link.
 
     On a >1-device ``mesh`` the program is SPMD over the batch axis —
     samples are per-device-independent, so each chip preps its own shard
@@ -318,15 +385,21 @@ def make_prepare_batch(config, augment: bool = True, mesh=None):
 
     def prepare_batch(batch, anchors, keys):
         def one(args):
-            img, lo, hi, n, key = args
+            if rle:
+                img, starts, rlo, rhi, n, key = args
+                lo, hi = runs_to_planes(starts, rlo, rhi, config.image_size)
+            else:
+                img, lo, hi, n, key = args
             return prepare_sample(
                 img, lo, hi, n, anchors, key, config=config, augment=augment)
 
-        return jax.lax.map(
-            one,
-            (batch["image"], batch["label_lo"], batch["label_hi"],
-             batch["n_objects"], keys),
-        )
+        if rle:
+            leaves = (batch["image"], batch["run_starts"], batch["run_lo"],
+                      batch["run_hi"], batch["n_objects"], keys)
+        else:
+            leaves = (batch["image"], batch["label_lo"], batch["label_hi"],
+                      batch["n_objects"], keys)
+        return jax.lax.map(one, leaves)
 
     if mesh is not None and mesh.devices.size > 1:
         data_sh, repl = batch_sharding(mesh), replicate(mesh)
@@ -352,14 +425,18 @@ class DevicePrepLoader(TrainLoader):
 
     def __init__(self, *args, mesh=None, **kwargs):
         super().__init__(*args, **kwargs)
-        if jax.process_count() > 1:
-            # the prep program takes host numpy, which a jit sharded over a
-            # multi-process mesh cannot accept directly; multi-host training
-            # uses the host-prep TrainLoader + multihost.global_batch
-            raise NotImplementedError(
-                "--device_prep is single-process-per-mesh for now; on "
-                "multi-host runs use the host-prep loader (drop "
-                "--device_prep)")
+        self._multi = jax.process_count() > 1
+        if self._multi:
+            # multi-host: each process encodes its local dataset shard on
+            # host (numpy), the encoded batches are assembled into GLOBAL
+            # batch-sharded arrays (multihost.global_batch), and ONE SPMD
+            # prep program runs over the global mesh — outputs land sharded
+            # for the sharded train step, same as single-host SPMD prep.
+            if mesh is None or mesh.devices.size != len(jax.devices()):
+                raise ValueError(
+                    "multi-process --device_prep needs the global device "
+                    "mesh (pass mesh=make_mesh(), spanning all processes' "
+                    "devices)")
         # fail fast on legacy datasets: without .npz maps every sample
         # would raise inside the workers and the containment loop would
         # skip-and-spin forever instead of surfacing the real problem
@@ -373,26 +450,76 @@ class DevicePrepLoader(TrainLoader):
                     f"(missing: {probe}); this dataset appears to use the "
                     "legacy pickle .layer format — run scripts/"
                     "convert_dataset.py encode, or drop --device_prep")
-        self._prepare = make_prepare_batch(
-            self.config, augment=self.augment, mesh=mesh)
-        self._anchors_dev = jnp.asarray(self.anchors)
-        self._key = jax.random.PRNGKey(int(self.rng.integers(2 ** 63)))
+        self._mesh = mesh
+        self._rle_budget = rle_budget_for(self.config.image_size)
+        # two compiled programs, built lazily: the RLE-upload one (the
+        # common case) and the dense-upload fallback for batches where a
+        # sample's run count exceeds the static budget. The dense program
+        # only ever compiles if such a batch occurs.
+        self._prepare_cache: dict = {}
+        if self._multi:
+            from ..parallel.mesh import replicate
+            self._anchors_dev = jax.make_array_from_process_local_data(
+                replicate(mesh), np.asarray(self.anchors))
+        else:
+            self._anchors_dev = jnp.asarray(self.anchors)
+        # fold the process index into the key stream so each process's
+        # shard draws independent augmentation / anchor-subsample keys
+        self._key = jax.random.fold_in(
+            jax.random.PRNGKey(int(self.rng.integers(2 ** 63))),
+            jax.process_index())
         self._batch_idx = 0
+
+    def _prepare_for(self, rle: bool):
+        if rle not in self._prepare_cache:
+            self._prepare_cache[rle] = make_prepare_batch(
+                self.config, augment=self.augment, mesh=self._mesh, rle=rle)
+        return self._prepare_cache[rle]
 
     # the worker threads call this per image (base class hook)
     def _make_one_sample(self, image_id: int, rng):
-        return encode_sample(self.dataset, self.config, image_id)
+        enc = encode_sample(self.dataset, self.config, image_id)
+        if (enc is not None and self._multi
+                and int(enc["n_runs"]) > self._rle_budget):
+            # multi-host runs execute ONE SPMD prep program per run — a
+            # per-batch dense fallback would desynchronize the processes'
+            # compiled programs. Route the (pathological) overflow sample
+            # through the loader's skip-and-count containment instead.
+            raise ValueError(
+                f"sample {image_id} needs {int(enc['n_runs'])} RLE runs > "
+                f"budget {self._rle_budget}; skipped on multi-host runs")
+        return enc
 
     def _dispatch_stream(self):
         for encoded in super().__iter__():
             key = jax.random.fold_in(self._key, self._batch_idx)
             self._batch_idx += 1
             keys = jax.random.split(key, self.batch_size)
-            yield self._prepare(encoded, self._anchors_dev, keys)
+            # ship the RLE runs when every sample fits the static budget
+            # (the dense planes then never leave the host); else fall back
+            # to the dense planes for the whole batch (single-process only —
+            # multi-host filters overflow samples in _make_one_sample)
+            rle = self._multi or bool(
+                int(encoded["n_runs"].max()) <= self._rle_budget)
+            if rle:
+                batch = {k: encoded[k] for k in
+                         ("image", "run_starts", "run_lo", "run_hi",
+                          "n_objects")}
+            else:
+                batch = {k: encoded[k] for k in
+                         ("image", "label_lo", "label_hi", "n_objects")}
+            if self._multi:
+                # per-process local batches → one global batch-sharded
+                # array set; the SPMD prep program consumes it directly
+                from ..parallel.multihost import global_batch
+                batch = global_batch(batch, self._mesh)
+                keys = global_batch(np.asarray(keys), self._mesh)
+            yield self._prepare_for(rle)(batch, self._anchors_dev, keys)
 
     def __iter__(self):
         """Device-prefetching iterator: the host→device upload of the encoded
-        planes (~11 MB/sample) and the prep-program dispatch run on a
+        sample (~3.4 MB: the uint8 image + ~0.4 MB of RLE runs — the dense
+        planes would be another 8 MB) and the prep-program dispatch run on a
         background thread, so batch N+1's transfer overlaps the train step on
         batch N. The upload blocks the *calling* thread on this platform, so
         without the thread the transfer serializes with the step even though

@@ -145,6 +145,10 @@ class Trainer:
         place them)."""
         if jax.process_count() == 1:
             return batch
+        leaves = jax.tree_util.tree_leaves(batch)
+        if leaves and isinstance(leaves[0], jax.Array) \
+                and not leaves[0].is_fully_addressable:
+            return batch  # already global (the device-prep SPMD path)
         from ..parallel.multihost import global_batch
         return global_batch(batch, self.mesh)
 

@@ -244,6 +244,55 @@ def test_prepare_batch_sharded_matches_single(synth):
             np.asarray(b_sh[k]), np.asarray(b_1[k]), err_msg=k)
 
 
+def test_rle_roundtrip_matches_dense():
+    """rle_encode_map → runs_to_planes reproduces the dense uint32 planes
+    bit-exactly, including single-run and worst-case (every pixel distinct)
+    maps; over-budget maps signal via n_runs > budget."""
+    rng = np.random.RandomState(7)
+    size = 48
+    maps = [
+        _random_label_map(rng, 80, 64),            # realistic
+        np.zeros((size, size), np.uint64),          # single run
+        (np.arange(size * size, dtype=np.uint64)    # every pixel distinct
+         .reshape(size, size) << np.uint64(20)),
+    ]
+    for label_map in maps:
+        small = downsample_label_map(label_map, size)
+        budget = size * size  # always enough
+        starts, lo, hi, n_runs = device_prep.rle_encode_map(small, budget)
+        assert int(n_runs) <= budget
+        got_lo, got_hi = device_prep.runs_to_planes(
+            jnp.asarray(starts), jnp.asarray(lo), jnp.asarray(hi), size)
+        np.testing.assert_array_equal(
+            np.asarray(got_lo), (small & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        np.testing.assert_array_equal(
+            np.asarray(got_hi), (small >> np.uint64(32)).astype(np.uint32))
+
+    # over-budget: n_runs reports the TRUE count so the loader can fall back
+    small = downsample_label_map(maps[2], size)
+    starts, lo, hi, n_runs = device_prep.rle_encode_map(small, 16)
+    assert int(n_runs) == size * size and starts.shape == (16,)
+
+
+def test_loader_rle_and_dense_paths_agree(synth):
+    """The loader's RLE upload path and the dense fallback path (forced by a
+    tiny budget) must produce identical prepared batches — same seed, same
+    samples, same random keys."""
+    cfg = _prep_config().replace(batch_size=2)
+    rle_loader = DevicePrepLoader(synth, cfg, seed=3, augment=False, workers=1)
+    assert rle_loader._rle_budget > 0
+    dense_loader = DevicePrepLoader(synth, cfg, seed=3, augment=False, workers=1)
+    dense_loader._rle_budget = 0  # every batch overflows → dense fallback
+
+    b_rle = next(iter(rle_loader))
+    b_dense = next(iter(dense_loader))
+    assert True in rle_loader._prepare_cache
+    assert False in dense_loader._prepare_cache
+    for k in b_dense:
+        np.testing.assert_array_equal(
+            np.asarray(b_rle[k]), np.asarray(b_dense[k]), err_msg=k)
+
+
 def test_device_prep_loader_batches(synth):
     cfg = _prep_config().replace(batch_size=2)
     loader = DevicePrepLoader(synth, cfg, seed=0, augment=True, workers=1)

@@ -205,6 +205,94 @@ _TRAIN_WORKER = textwrap.dedent("""
 """)
 
 
+_DEVPREP_WORKER = textwrap.dedent("""
+    import json, os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    sys.path.insert(0, {repo!r})
+    sys.path.insert(0, os.path.join({repo!r}, "tests"))
+    from sln_amodal_tpu.parallel import multihost
+    from sln_amodal_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicate)
+    from sln_amodal_tpu.config import Config
+    from sln_amodal_tpu.data.dataset import AmodalDataset
+    from sln_amodal_tpu.data.device_prep import DevicePrepLoader
+
+    pid = int(sys.argv[1])
+    multihost.initialize("localhost:{port}", num_processes=2, process_id=pid)
+    assert len(jax.devices()) == 4
+
+    ds = AmodalDataset()
+    ds.load_amodal({root!r}, "train")
+    ds.prepare()
+    cfg = Config(image_size=64, batch_size=2, name="devprep-mh",
+                 glm_input_size=33, pre_nms_limit=128,
+                 post_nms_rois_training=16, train_rois_per_image=8,
+                 max_gt_instances=4, compute_dtype="float32")
+    mesh = make_mesh()
+
+    # per-process dataset shards feed the ONE SPMD prep program
+    loader = DevicePrepLoader(ds, cfg, seed=0, augment=False, workers=1,
+                              mesh=mesh)
+    assert len(loader.local_ids) == 2  # 4 images over 2 processes
+    batch = next(iter(loader))
+    # prepared batch is GLOBAL: 2 local rows/process -> 4 global rows
+    assert batch["images"].shape[0] == 4
+    assert not batch["images"].is_fully_addressable
+    local_rows = sum(
+        s.data.shape[0] for s in batch["images"].addressable_shards)
+    assert local_rows == 2
+    assert np.isfinite(np.asarray(
+        [s.data.sum() for s in batch["images"].addressable_shards])).all()
+
+    # and it feeds the sharded train step directly (no resharding)
+    from sln_amodal_tpu.models.sln import SLNAmodal, init_params
+    from sln_amodal_tpu.train.optim import make_optimizer
+    from sln_amodal_tpu.train.trainer import TrainState, make_train_step
+    variables = init_params(cfg, jax.random.PRNGKey(0))
+    model = SLNAmodal(cfg)
+    tx = make_optimizer(variables, "heads", cfg.learning_rate)
+    state = TrainState(variables, tx.init(variables),
+                       jnp.zeros((), jnp.int32))
+    jit_step = jax.jit(
+        make_train_step(model, cfg, tx),
+        in_shardings=(replicate(mesh), replicate(mesh),
+                      batch_sharding(mesh)),
+        out_shardings=(replicate(mesh), replicate(mesh)),
+    )
+    state, losses = jit_step(state, jax.random.PRNGKey(7), batch)
+    total = float(losses["total"])
+    assert np.isfinite(total), losses
+    print("DEVPREP_OK", pid, total)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_device_prep_feeds_sharded_train_step(tmp_path):
+    """--device_prep composed with multi-host DP: each process encodes its
+    local dataset shard, ONE SPMD prep program runs over the two-process
+    global mesh, and the prepared global batch feeds the sharded train step
+    without resharding. Both processes must agree on the (replicated)
+    loss."""
+    from tests.fixtures import make_synthetic_dataset
+
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, n_images=4, size=64, subset="train")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = _run_two_processes(
+        tmp_path, _DEVPREP_WORKER.format(repo=repo, port=_free_port(),
+                                         root=root))
+    totals = []
+    for i, out in enumerate(outs):
+        lines = [l for l in out.splitlines() if l.startswith("DEVPREP_OK")]
+        assert lines, f"process {i} did not finish:\n{out}"
+        totals.append(float(lines[-1].split()[2]))
+    assert abs(totals[0] - totals[1]) < 1e-6
+
+
 @pytest.mark.slow
 def test_two_process_sharded_train_step_matches_single(tmp_path):
     """The FULL jitted train step (forward + 6 losses + grads + SGD) over a
