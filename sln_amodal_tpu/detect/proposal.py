@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.boxes import apply_box_deltas, clip_boxes
 from ..ops.nms import nms_sorted
-from ..ops.nms_pallas import nms_sorted_pallas
+from ..ops.nms_pallas import nms_sorted_pallas, nms_sorted_pallas_batched
 
 
 def _nms_dispatch(impl: str):
@@ -27,6 +27,24 @@ def _nms_dispatch(impl: str):
     if impl == "auto":
         impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     return nms_sorted_pallas if impl == "pallas" else nms_sorted
+
+
+def _nms_dispatch_batched(impl: str):
+    """Batched NMS ([B, N, 4] boxes, [B, N] valid): the batch-grid Pallas
+    kernel on TPU, the vmapped XLA loop elsewhere (bit-identical contracts,
+    pinned by tests/test_nms_pallas)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if impl == "pallas":
+        return nms_sorted_pallas_batched
+
+    def batched_xla(boxes, valid, *, max_outputs, iou_threshold,
+                    plus_one=True):
+        return jax.vmap(lambda b, v: nms_sorted(
+            b, v, max_outputs=max_outputs, iou_threshold=iou_threshold,
+            plus_one=plus_one))(boxes, valid)
+
+    return batched_xla
 
 
 def proposal_layer(
@@ -78,3 +96,57 @@ def proposal_layer(
     kept = jnp.where(keep_valid[:, None], kept, 0.0)
     normalized = kept / float(image_size)
     return normalized, keep_valid
+
+
+def proposal_layer_batched(
+    rpn_probs: jnp.ndarray,
+    rpn_deltas: jnp.ndarray,
+    anchors: jnp.ndarray,
+    *,
+    proposal_count: int,
+    nms_threshold: float,
+    image_size: int,
+    rpn_bbox_std_dev,
+    pre_nms_limit: int = 6000,
+    nms_impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch-native :func:`proposal_layer`: every stage is one batched op
+    instead of a per-image vmap body — ``top_k`` over [B, A] (XLA's batched
+    sort), ``take_along_axis`` gathers, broadcast box math, and ONE
+    batch-grid Pallas NMS call — so nothing pays per-image dispatch and the
+    batch-1 slice is exactly the single-image program (models/sln.py used
+    to special-case b=1 because vmap's batching rules cost 2× there).
+
+    Args:
+        rpn_probs: [B, A, 2] softmax over (bg, fg) per anchor.
+        rpn_deltas: [B, A, 4] predicted refinements.
+        anchors: [A, 4] pixel-coordinate anchors (shared across the batch).
+
+    Returns:
+        proposals: [B, proposal_count, 4] normalized, zero-padded.
+        valid: [B, proposal_count] bool.
+    """
+    scores = rpn_probs[..., 1]                                   # [B, A]
+    dt = jnp.promote_types(rpn_deltas.dtype, jnp.float32)
+    std = jnp.asarray(rpn_bbox_std_dev, dt)
+    deltas = rpn_deltas.astype(dt) * std
+
+    k = min(pre_nms_limit, anchors.shape[0])
+    _, order = jax.lax.top_k(scores, k)                          # [B, k]
+    deltas = jnp.take_along_axis(deltas, order[..., None], axis=1)
+    top_anchors = anchors[order]                                 # [B, k, 4]
+
+    boxes = apply_box_deltas(top_anchors.astype(dt), deltas)
+    boxes = clip_boxes(boxes, (0.0, 0.0, float(image_size), float(image_size)))
+
+    keep, keep_valid = _nms_dispatch_batched(nms_impl)(
+        boxes,
+        jnp.ones(boxes.shape[:2], bool),
+        max_outputs=proposal_count,
+        iou_threshold=nms_threshold,
+        plus_one=True,
+    )
+    kept = jnp.take_along_axis(
+        boxes, jnp.maximum(keep, 0)[..., None], axis=1)
+    kept = jnp.where(keep_valid[..., None], kept, 0.0)
+    return kept / float(image_size), keep_valid

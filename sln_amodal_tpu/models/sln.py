@@ -35,7 +35,7 @@ import numpy as np
 
 from ..config import Config
 from ..detect.detection import refine_detections
-from ..detect.proposal import proposal_layer
+from ..detect.proposal import proposal_layer_batched
 from ..detect.targets import RoiTargets, detection_target_layer
 from ..ops.anchors import config_anchors
 from ..ops.roi_align import crop_and_resize, pyramid_roi_align
@@ -140,26 +140,20 @@ class SLNAmodal(nn.Module):
         # NMS selection loop out of reverse-mode autodiff.
         rpn_probs = jax.lax.stop_gradient(rpn_probs)
         rpn_deltas = jax.lax.stop_gradient(rpn_deltas)
-
-        def one(probs_i, deltas_i):
-            return proposal_layer(
-                probs_i,
-                deltas_i,
-                self._anchors,
-                proposal_count=proposal_count,
-                nms_threshold=cfg.rpn_nms_threshold,
-                image_size=cfg.image_size,
-                rpn_bbox_std_dev=cfg.rpn_bbox_std_dev,
-                pre_nms_limit=cfg.pre_nms_limit,
-                nms_impl=cfg.nms_impl,
-            )
-
-        if rpn_probs.shape[0] == 1:
-            # batch-1: vmap's batching rules cost ~2x on the top-k/NMS
-            # pipeline (measured 4.5 vs 2.3 ms on v5e) — call directly
-            rois, valid = one(rpn_probs[0], rpn_deltas[0])
-            return rois[None], valid[None]
-        return jax.vmap(one)(rpn_probs, rpn_deltas)
+        # batch-native: batched top_k/gathers + ONE batch-grid Pallas NMS
+        # call (no per-image vmap body, no batch-1 special case — the b=1
+        # slice of the batched program IS the single-image program)
+        return proposal_layer_batched(
+            rpn_probs,
+            rpn_deltas,
+            self._anchors,
+            proposal_count=proposal_count,
+            nms_threshold=cfg.rpn_nms_threshold,
+            image_size=cfg.image_size,
+            rpn_bbox_std_dev=cfg.rpn_bbox_std_dev,
+            pre_nms_limit=cfg.pre_nms_limit,
+            nms_impl=cfg.nms_impl,
+        )
 
     def _classifier_on(self, feats_per_image, rois):
         """feats_per_image: 4-tuple of [B, Hl, Wl, C]; rois [B, R, 4]."""

@@ -16,29 +16,30 @@ LOG_DELTA_CLIP = 10.0  # guards exp overflow → inf-inf NaN boxes; real
 
 
 def apply_box_deltas(boxes: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
-    """Apply (dy, dx, log dh, log dw) refinements to boxes. [N,4] x [N,4]."""
-    height = boxes[:, 2] - boxes[:, 0]
-    width = boxes[:, 3] - boxes[:, 1]
-    center_y = boxes[:, 0] + 0.5 * height + deltas[:, 0] * height
-    center_x = boxes[:, 1] + 0.5 * width + deltas[:, 1] * width
-    height = height * jnp.exp(jnp.clip(deltas[:, 2], -LOG_DELTA_CLIP, LOG_DELTA_CLIP))
-    width = width * jnp.exp(jnp.clip(deltas[:, 3], -LOG_DELTA_CLIP, LOG_DELTA_CLIP))
+    """Apply (dy, dx, log dh, log dw) refinements to boxes. [..., 4] each
+    (any number of leading batch dims)."""
+    height = boxes[..., 2] - boxes[..., 0]
+    width = boxes[..., 3] - boxes[..., 1]
+    center_y = boxes[..., 0] + 0.5 * height + deltas[..., 0] * height
+    center_x = boxes[..., 1] + 0.5 * width + deltas[..., 1] * width
+    height = height * jnp.exp(jnp.clip(deltas[..., 2], -LOG_DELTA_CLIP, LOG_DELTA_CLIP))
+    width = width * jnp.exp(jnp.clip(deltas[..., 3], -LOG_DELTA_CLIP, LOG_DELTA_CLIP))
     y1 = center_y - 0.5 * height
     x1 = center_x - 0.5 * width
-    return jnp.stack([y1, x1, y1 + height, x1 + width], axis=1)
+    return jnp.stack([y1, x1, y1 + height, x1 + width], axis=-1)
 
 
 def clip_boxes(boxes: jnp.ndarray, window) -> jnp.ndarray:
-    """Clip boxes to window (y1, x1, y2, x2)."""
+    """Clip boxes [..., 4] to window (y1, x1, y2, x2)."""
     wy1, wx1, wy2, wx2 = window
     return jnp.stack(
         [
-            jnp.clip(boxes[:, 0], wy1, wy2),
-            jnp.clip(boxes[:, 1], wx1, wx2),
-            jnp.clip(boxes[:, 2], wy1, wy2),
-            jnp.clip(boxes[:, 3], wx1, wx2),
+            jnp.clip(boxes[..., 0], wy1, wy2),
+            jnp.clip(boxes[..., 1], wx1, wx2),
+            jnp.clip(boxes[..., 2], wy1, wy2),
+            jnp.clip(boxes[..., 3], wx1, wx2),
         ],
-        axis=1,
+        axis=-1,
     )
 
 

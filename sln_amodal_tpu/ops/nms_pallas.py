@@ -126,6 +126,118 @@ def _nms_kernel(boxes_ref, valid_ref, alive_ref, alive_col_ref, *,
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
 
 
+def _padded_n(n: int) -> int:
+    """Row padding for the blocked kernel layout: a whole number of tiles,
+    and — when the cross-suppression pass is blocked (> 16 tiles) — a whole
+    number of balanced blocks (ceil-split the tiles into ceil(tiles/16)
+    equal blocks; waste is < 1 tile per block — padded rows have valid=0
+    and never affect survivors)."""
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    tiles = n_pad // TILE
+    if tiles > 16:
+        num_blocks = -(-tiles // 16)
+        block_tiles = -(-tiles // num_blocks)
+        n_pad = num_blocks * block_tiles * TILE
+    return n_pad
+
+
+def _pack_keep(alive: jnp.ndarray, max_outputs: int, pad_value: int):
+    """Pack surviving indices (in score order) into ``max_outputs`` slots.
+
+    ``alive``: [..., n] bool. Returns (keep [..., max_outputs] int32 padded
+    with ``pad_value``, keep_valid [..., max_outputs] bool). Batched over
+    any leading dims with native ops (no vmap)."""
+    n = alive.shape[-1]
+    rank = jnp.cumsum(alive.astype(jnp.int32), axis=-1) - 1
+    take = alive & (rank < max_outputs)
+    slots = jnp.where(take, rank, max_outputs)  # overflow bin, sliced off
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), alive.shape)
+    keep = jnp.full(alive.shape[:-1] + (max_outputs + 1,), pad_value,
+                    jnp.int32)
+    if alive.ndim == 1:
+        keep = keep.at[slots].set(src)
+    else:
+        flat_slots = slots.reshape(-1, n)
+        flat_src = src.reshape(-1, n)
+        rows = jnp.arange(flat_slots.shape[0], dtype=jnp.int32)[:, None]
+        keep = keep.reshape(-1, max_outputs + 1).at[rows, flat_slots].set(
+            flat_src).reshape(keep.shape)
+    keep = keep[..., :max_outputs]
+    n_kept = jnp.minimum(jnp.sum(alive.astype(jnp.int32), axis=-1),
+                         max_outputs)
+    keep_valid = jnp.arange(max_outputs) < n_kept[..., None]
+    return keep, keep_valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_outputs", "iou_threshold", "plus_one",
+                     "suppress_at_equal", "pad_value", "interpret"),
+)
+def nms_sorted_pallas_batched(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    max_outputs: int,
+    iou_threshold: float,
+    plus_one: bool = True,
+    suppress_at_equal: bool = False,
+    pad_value: int = -1,
+    interpret: bool = False,
+):
+    """Batched :func:`nms_sorted_pallas`: boxes [B, N, 4], valid [B, N].
+
+    ONE ``pallas_call`` whose grid dimension walks the batch — the kernel
+    body is byte-identical to the per-image one; grid step ``i`` maps to
+    image ``i``'s row range of the [B·n_pad, 4] layout via the BlockSpec
+    index map, so images pipeline through the same VMEM working set instead
+    of paying per-image dispatch (the round-3 path vmapped the per-image
+    kernel, which the batching rule lifts less efficiently — the b=1
+    special case in models/sln.py existed only to dodge that 2× cost).
+
+    Scratch reuse across grid steps is safe by construction: tile k's
+    cross-suppression pass masks scratch rows ≥ k·TILE as stale, and rows
+    < k·TILE were rewritten by THIS image's earlier tiles.
+
+    Returns (keep [B, max_outputs] int32, keep_valid [B, max_outputs])."""
+    b, n = boxes.shape[:2]
+    n_pad = _padded_n(n)
+    tiles = n_pad // TILE
+    boxes_p = (
+        jnp.zeros((b, n_pad, 4), jnp.float32)
+        .at[:, :n].set(boxes.astype(jnp.float32))
+        .reshape(b * n_pad, 4)
+    )
+    valid_p = (
+        jnp.zeros((b, n_pad), jnp.float32)
+        .at[:, :n].set(valid.astype(jnp.float32))
+        .reshape(b * tiles, TILE)
+    )
+
+    alive = pl.pallas_call(
+        functools.partial(
+            _nms_kernel,
+            iou_threshold=float(iou_threshold),
+            plus_one=plus_one,
+            suppress_at_equal=suppress_at_equal,
+        ),
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b * tiles, TILE), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((n_pad, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tiles, TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tiles, TILE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_pad, 1), jnp.float32)],
+        interpret=interpret,
+    )(boxes_p, valid_p)
+
+    alive = alive.reshape(b, n_pad)[:, :n] > 0.5
+    return _pack_keep(alive, max_outputs, pad_value)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_outputs", "iou_threshold", "plus_one",
@@ -141,52 +253,12 @@ def nms_sorted_pallas(
     pad_value: int = -1,
     interpret: bool = False,
 ):
-    """Drop-in replacement for :func:`ops.nms.nms_sorted` (same contract)."""
-    n = boxes.shape[0]
-    n_pad = ((n + TILE - 1) // TILE) * TILE
-    tiles = n_pad // TILE
-    if tiles > 16:
-        # balanced cross-suppression blocks (see kernel): ceil-split the
-        # tiles into ceil(tiles/16) equal blocks and pad to a whole number
-        # of them — waste is < 1 tile per block (padded rows have valid=0
-        # and never affect survivors)
-        num_blocks = -(-tiles // 16)
-        block_tiles = -(-tiles // num_blocks)
-        n_pad = num_blocks * block_tiles * TILE
-    boxes_p = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(boxes.astype(jnp.float32))
-    valid_p = (
-        jnp.zeros((n_pad // TILE, TILE), jnp.float32)
-        .reshape(-1)
-        .at[:n]
-        .set(valid.astype(jnp.float32))
-        .reshape(n_pad // TILE, TILE)
-    )
-
-    alive = pl.pallas_call(
-        functools.partial(
-            _nms_kernel,
-            iou_threshold=float(iou_threshold),
-            plus_one=plus_one,
-            suppress_at_equal=suppress_at_equal,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_pad // TILE, TILE), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_pad, 1), jnp.float32)],
+    """Drop-in replacement for :func:`ops.nms.nms_sorted` (same contract).
+    The batch-1 slice of :func:`nms_sorted_pallas_batched`."""
+    keep, keep_valid = nms_sorted_pallas_batched(
+        boxes[None], valid[None], max_outputs=max_outputs,
+        iou_threshold=iou_threshold, plus_one=plus_one,
+        suppress_at_equal=suppress_at_equal, pad_value=pad_value,
         interpret=interpret,
-    )(boxes_p, valid_p)
-
-    alive = alive.reshape(-1)[:n] > 0.5
-
-    # pack surviving indices (in score order) into max_outputs slots
-    rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
-    take = alive & (rank < max_outputs)
-    slots = jnp.where(take, rank, max_outputs)
-    keep = jnp.full((max_outputs + 1,), pad_value, jnp.int32)
-    keep = keep.at[slots].set(jnp.arange(n, dtype=jnp.int32))[:max_outputs]
-    n_kept = jnp.minimum(jnp.sum(alive.astype(jnp.int32)), max_outputs)
-    keep_valid = jnp.arange(max_outputs) < n_kept
-    return keep, keep_valid
+    )
+    return keep[0], keep_valid[0]

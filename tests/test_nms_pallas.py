@@ -65,3 +65,76 @@ def test_pallas_multiblock_cross_suppression():
                                      interpret=True)
     np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_pal))
     np.testing.assert_array_equal(np.asarray(k_ref), np.asarray(k_pal))
+
+
+def test_pallas_batched_matches_per_image():
+    """The batch-grid kernel must equal the per-image XLA reference row for
+    row — distinct box sets, mixed validity, and a non-tile-aligned n
+    (padding per image). Also proves scratch reuse across grid steps never
+    leaks one image's aliveness into the next (image 0 is a dense cluster
+    whose survivors differ wildly from image 1's disjoint field)."""
+    from sln_amodal_tpu.ops.nms_pallas import nms_sorted_pallas_batched
+
+    rng = np.random.RandomState(3)
+    n, batch = 513, 4
+    boxes = np.stack([random_boxes(rng, n, spread=150.0 * (i + 1))
+                      for i in range(batch)])
+    # image 0: one dense cluster (long suppression chains)
+    boxes[0] = np.array([50, 50, 90, 90], np.float32)[None] \
+        + rng.randn(n, 4).astype(np.float32) * 5
+    boxes[0, :, 2:] = np.maximum(boxes[0, :, 2:], boxes[0, :, :2] + 1)
+    valid = rng.rand(batch, n) > 0.2
+    valid[1] = True
+
+    k_b, v_b = nms_sorted_pallas_batched(
+        jnp.asarray(boxes), jnp.asarray(valid), max_outputs=100,
+        iou_threshold=0.5, interpret=True)
+    assert k_b.shape == (batch, 100) and v_b.shape == (batch, 100)
+    for i in range(batch):
+        k_ref, v_ref = nms_sorted(
+            jnp.asarray(boxes[i]), jnp.asarray(valid[i]), 100, 0.5)
+        np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_b[i]),
+                                      err_msg=f"image {i}")
+        np.testing.assert_array_equal(np.asarray(k_ref), np.asarray(k_b[i]),
+                                      err_msg=f"image {i}")
+
+
+def test_pallas_single_is_batched_slice():
+    """nms_sorted_pallas (the per-image API) is the b=1 slice of the
+    batched kernel — same outputs as the XLA reference (regression for the
+    delegation refactor)."""
+    rng = np.random.RandomState(5)
+    b = random_boxes(rng, 300)
+    valid = jnp.asarray(rng.rand(300) > 0.1)
+    k_ref, v_ref = nms_sorted(jnp.asarray(b), valid, 64, 0.6)
+    k_pal, v_pal = nms_sorted_pallas(jnp.asarray(b), valid, 64, 0.6,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_pal))
+    np.testing.assert_array_equal(np.asarray(k_ref), np.asarray(k_pal))
+
+
+def test_proposal_layer_batched_matches_per_image():
+    """proposal_layer_batched ≡ vmap of the per-image proposal_layer
+    (batched top_k / take_along_axis gathers / broadcast box math / batched
+    NMS vs their per-image forms), on the XLA NMS path."""
+    from sln_amodal_tpu.detect.proposal import (
+        proposal_layer, proposal_layer_batched)
+
+    rng = np.random.RandomState(9)
+    batch, a = 3, 800
+    anchors = jnp.asarray(random_boxes(rng, a, spread=900.0, size=80.0))
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.randn(batch, a, 2).astype(np.float32)), axis=-1)
+    deltas = jnp.asarray(rng.randn(batch, a, 4).astype(np.float32) * 0.2)
+    kw = dict(proposal_count=60, nms_threshold=0.7, image_size=1024,
+              rpn_bbox_std_dev=(0.1, 0.1, 0.2, 0.2), pre_nms_limit=256,
+              nms_impl="xla")
+
+    rois_b, valid_b = proposal_layer_batched(probs, deltas, anchors, **kw)
+    assert rois_b.shape == (batch, 60, 4)
+    for i in range(batch):
+        rois_i, valid_i = proposal_layer(probs[i], deltas[i], anchors, **kw)
+        np.testing.assert_array_equal(np.asarray(valid_i),
+                                      np.asarray(valid_b[i]))
+        np.testing.assert_allclose(np.asarray(rois_i),
+                                   np.asarray(rois_b[i]), rtol=0, atol=0)
