@@ -8,7 +8,12 @@ Static-shape equivalent of ``refine_detections`` / ``detection_layer``
   matching ``coordinate_convert`` Functions.py:439),
 - scale to pixel coords, clip to the image-meta window, round,
 - keep foreground (class_id > 0), top ``detection_max_instances`` by score,
-  sorted descending,
+  sorted descending. NOTE: in the reference the *live* cap is the hardcoded
+  100 of the USE_NMS=False branch (Functions.py:531) — its
+  ``DETECTION_MAX_INSTANCES`` feeds a dead variable (``roi_count``,
+  Functions.py:548) and the ``[:]`` slice at :551 caps nothing. Our knob is
+  the effective cap; parity with the reference = setting it to 100 (the
+  config default), as pinned by tests/test_ref_model_import.py.
 - output rows (y1, x1, y2, x2, class_id, score) in pixels; empty slots are
   all-zero (class_id 0), which downstream unmolding uses as the cutoff —
   same convention as the reference's zero padding.
