@@ -19,6 +19,11 @@ for the TPU vector unit instead of a 1000-step scalar loop:
 
 The kernel emits the aliveness mask; index packing happens in XLA outside.
 Everything lives in VMEM (6k boxes ≈ 96 KB).
+
+Batching: :func:`nms_sorted_pallas_batched` runs B images through ONE
+``pallas_call`` whose grid dimension walks the batch — same kernel body;
+the BlockSpec index map hands each grid step its image's row range. The
+per-image :func:`nms_sorted_pallas` is the B=1 slice of it.
 """
 
 from __future__ import annotations
