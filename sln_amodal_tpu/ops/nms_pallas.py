@@ -131,19 +131,29 @@ def _nms_kernel(boxes_ref, valid_ref, alive_ref, alive_col_ref, *,
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
 
 
-def _padded_n(n: int) -> int:
-    """Row padding for the blocked kernel layout: a whole number of tiles,
-    and — when the cross-suppression pass is blocked (> 16 tiles) — a whole
-    number of balanced blocks (ceil-split the tiles into ceil(tiles/16)
-    equal blocks; waste is < 1 tile per block — padded rows have valid=0
-    and never affect survivors)."""
-    n_pad = ((n + TILE - 1) // TILE) * TILE
-    tiles = n_pad // TILE
-    if tiles > 16:
-        num_blocks = -(-tiles // 16)
-        block_tiles = -(-tiles // num_blocks)
-        n_pad = num_blocks * block_tiles * TILE
-    return n_pad
+def _padded_n(n: int, batched: bool = False) -> int:
+    """Row padding for the blocked kernel layout. Two joint constraints
+    (padded rows have valid=0 and never affect survivors):
+
+    - the cross-suppression pass splits the tiles into ceil(tiles/16) EQUAL
+      blocks, so ``tiles % ceil(tiles/16) == 0`` (the kernel's fori_loop
+      covers exactly ``num_cross * cross`` rows — a ragged tail would
+      silently escape suppression);
+    - when the call is batched (b > 1), Mosaic requires the second-minor
+      block dim divisible by 8, and the [tiles, TILE] valid/alive blocks of
+      the [b*tiles, TILE] layout are no longer exempt-by-equality, so
+      ``tiles % 8 == 0``. (The production 6000-box shape pads to 48 tiles
+      and satisfies this already; tiny-config shapes like 512 boxes / 4
+      tiles crashed the lowering before this search.)
+    """
+    tiles = max(1, -(-n // TILE))
+    while True:
+        ok = not batched or tiles % 8 == 0
+        if ok and tiles > 16:
+            ok = tiles % (-(-tiles // 16)) == 0
+        if ok:
+            return tiles * TILE
+        tiles += 1
 
 
 def _pack_keep(alive: jnp.ndarray, max_outputs: int, pad_value: int):
@@ -205,7 +215,7 @@ def nms_sorted_pallas_batched(
 
     Returns (keep [B, max_outputs] int32, keep_valid [B, max_outputs])."""
     b, n = boxes.shape[:2]
-    n_pad = _padded_n(n)
+    n_pad = _padded_n(n, batched=b > 1)
     tiles = n_pad // TILE
     boxes_p = (
         jnp.zeros((b, n_pad, 4), jnp.float32)

@@ -138,3 +138,41 @@ def test_proposal_layer_batched_matches_per_image():
                                       np.asarray(valid_b[i]))
         np.testing.assert_allclose(np.asarray(rois_i),
                                    np.asarray(rois_b[i]), rtol=0, atol=0)
+
+
+def test_padded_n_layout_constraints():
+    """_padded_n must satisfy the Mosaic block constraint (tiles % 8 == 0
+    when batched) AND the equal-cross-block split (tiles % ceil(tiles/16)
+    == 0) for every n — the tiny-config batched shape (512 boxes -> 4
+    tiles) crashed the TPU lowering before the joint search."""
+    from sln_amodal_tpu.ops.nms_pallas import TILE, _padded_n
+
+    for n in list(range(1, 1300, 37)) + [512, 6000, 6016, 8192, 20000]:
+        for batched in (False, True):
+            n_pad = _padded_n(n, batched=batched)
+            tiles = n_pad // TILE
+            assert n_pad >= n and n_pad % TILE == 0
+            if batched:
+                assert tiles % 8 == 0, (n, n_pad)
+            if tiles > 16:
+                assert tiles % (-(-tiles // 16)) == 0, (n, n_pad)
+    # production shape unchanged by the fix
+    assert _padded_n(6000, batched=True) == 6144
+
+
+def test_pallas_batched_small_n_matches_xla():
+    """Batched kernel at a small, non-multiple-of-8-tiles n (the shape that
+    crashed on TPU) is still bit-identical to the XLA loop per image."""
+    rng = np.random.RandomState(3)
+    b = random_boxes(rng, 512)
+    boxes = jnp.stack([jnp.asarray(b), jnp.asarray(b[::-1].copy())])
+    valid = jnp.ones((2, 512), bool)
+    from sln_amodal_tpu.ops.nms_pallas import nms_sorted_pallas_batched
+
+    k_b, v_b = nms_sorted_pallas_batched(
+        boxes, valid, max_outputs=128, iou_threshold=0.7, interpret=True)
+    for i in range(2):
+        k_x, v_x = nms_sorted(boxes[i], valid[i], max_outputs=128,
+                              iou_threshold=0.7)
+        np.testing.assert_array_equal(np.asarray(k_b[i]), np.asarray(k_x))
+        np.testing.assert_array_equal(np.asarray(v_b[i]), np.asarray(v_x))
