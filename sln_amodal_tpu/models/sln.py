@@ -38,7 +38,7 @@ from ..detect.detection import refine_detections
 from ..detect.proposal import proposal_layer_batched
 from ..detect.targets import RoiTargets, detection_target_layer
 from ..ops.anchors import config_anchors
-from ..ops.roi_align import crop_and_resize, pyramid_roi_align
+from ..ops.roi_align import crop_and_resize, pyramid_roi_align_batched
 from .backbone import ResNetFPN
 from .common import resize_bilinear
 from .deeplab import DeepLabV2MSC
@@ -160,13 +160,12 @@ class SLNAmodal(nn.Module):
         cfg = self.config
         b, r = rois.shape[:2]
 
-        def crop_one(p2, p3, p4, p5, rois_i):
-            return pyramid_roi_align(
-                (p2, p3, p4, p5), rois_i, (cfg.pool_size, cfg.pool_size),
-                (cfg.image_size, cfg.image_size),
-            )
-
-        crops = jax.vmap(crop_one)(*feats_per_image, rois)   # [B,R,p,p,C]
+        # batch-native: one flat-table gather over all images' pyramids
+        # (vmap-lifting the per-image op measured ~2x per-image cost at b=8)
+        crops = pyramid_roi_align_batched(
+            feats_per_image, rois, (cfg.pool_size, cfg.pool_size),
+            (cfg.image_size, cfg.image_size),
+        )                                                    # [B,R,p,p,C]
         crops = crops.reshape(b * r, *crops.shape[2:])
         logits, probs, deltas = self.classifier(crops)
         return (
@@ -185,24 +184,20 @@ class SLNAmodal(nn.Module):
         b, n = rois.shape[:2]
         m = cfg.mask_pool_size
 
-        def crop_fpn(p2, p3, p4, p5, rois_i):
-            return pyramid_roi_align(
-                (p2, p3, p4, p5), rois_i, (m, m), (cfg.image_size, cfg.image_size)
-            )
-
-        fpn_crops = jax.vmap(crop_fpn)(*feats_per_image, rois)
+        fpn_crops = pyramid_roi_align_batched(
+            feats_per_image, rois, (m, m), (cfg.image_size, cfg.image_size)
+        )
 
         if glm_prior is None:
             glm_crops = jnp.zeros(
                 (b, n, m, m, cfg.glm_num_classes + 1), fpn_crops.dtype
             )
         else:
-            def crop_glm(prior_i, boxes_i):
-                return crop_and_resize(
-                    prior_i[None], boxes_i, jnp.zeros((n,), jnp.int32), (m, m)
-                )
-
-            glm_crops = jax.vmap(crop_glm)(glm_prior, glm_boxes)
+            # crop_and_resize is already batch-native via box_indices
+            glm_crops = crop_and_resize(
+                glm_prior, glm_boxes.reshape(b * n, 4),
+                jnp.repeat(jnp.arange(b, dtype=jnp.int32), n), (m, m),
+            ).reshape(b, n, m, m, -1)
 
         fpn_crops = fpn_crops.reshape(b * n, m, m, -1)
         glm_crops = glm_crops.reshape(b * n, m, m, -1)

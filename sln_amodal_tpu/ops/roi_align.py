@@ -16,6 +16,12 @@ Two entry points:
   FPN-paper level assignment (``/root/reference/modal/modals.py:20-110``).
   Levels are flattened into one [sum(Hl*Wl), C] buffer and sampled with a
   single 4-corner gather — no per-level dynamic grouping, fully static.
+- :func:`pyramid_roi_align_batched` — the batch-native form: the batch is
+  folded into the flat gather table ([B*sum(Hl*Wl), C]) and every image's
+  boxes share ONE gather program, instead of lifting the per-image op with
+  ``jax.vmap`` (measured ~2x per-image cost at batch 8 — the same pattern
+  the proposal path's batched NMS removed). The b=1 slice is bit-identical
+  to the per-image op.
 """
 
 from __future__ import annotations
@@ -266,6 +272,119 @@ def pyramid_roi_align(features, boxes, crop_size, image_shape):
             )
             df = jnp.einsum(
                 "niy,nixc->yxc", yw, a, preferred_element_type=jnp.float32
+            )
+            grads.append(df.astype(dtypes[l]))
+        return tuple(grads), jnp.zeros_like(boxes_res)
+
+    op.defvjp(fwd, bwd)
+    return op(features, boxes)
+
+
+# ------------------------------------------------------------ batch-native ---
+
+
+def pyramid_roi_align_gather_batched(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    crop_size: Tuple[int, int],
+    image_shape: Tuple[int, int],
+    extrapolation_value: float = 0.0,
+) -> jnp.ndarray:
+    """Multi-level RoIAlign over a BATCH of FPN pyramids in one gather.
+
+    Args:
+        features: sequence of [B, Hl, Wl, C] maps ordered P2, P3, P4, P5.
+        boxes: [B, N, 4] normalized (y1, x1, y2, x2).
+
+    Returns: [B, N, crop_h, crop_w, C].
+
+    Identical per-box math to :func:`pyramid_roi_align_gather`; the batch
+    dimension becomes an index offset (image b's pyramid occupies rows
+    [b*S, (b+1)*S) of the flat table), so XLA sees one large static gather
+    instead of a vmap-lifted per-image program.
+    """
+    b, n = boxes.shape[:2]
+    shapes = tuple(f.shape[1:] for f in features)
+    c = shapes[0][-1]
+    widths = np.array([sh[1] for sh in shapes], np.float32)
+    sizes = [int(sh[0] * sh[1]) for sh in shapes]
+    total = int(np.sum(sizes))
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+
+    flat = jnp.concatenate(
+        [f.reshape(b, -1, c) for f in features], axis=1
+    ).reshape(b * total, c)
+
+    flat_boxes = boxes.reshape(b * n, 4)
+    (lvl_idx, valid_y, valid_x, top, bottom, y_lerp, left, right,
+     x_lerp) = _sample_geometry(shapes, flat_boxes, crop_size, image_shape)
+
+    wl_i = jnp.asarray(widths)[lvl_idx].astype(jnp.int32)[:, None, None]
+    img_off = jnp.repeat(jnp.arange(b, dtype=jnp.int32) * total, n)
+    off_i = (jnp.asarray(offsets)[lvl_idx] + img_off)[:, None, None]
+    y_lerp = y_lerp.astype(flat.dtype)
+    x_lerp = x_lerp.astype(flat.dtype)
+
+    def flat_idx(yy, xx):
+        return off_i + yy.astype(jnp.int32)[:, :, None] * wl_i + xx.astype(jnp.int32)[:, None, :]
+
+    tl = flat[flat_idx(top, left)]
+    tr = flat[flat_idx(top, right)]
+    bl = flat[flat_idx(bottom, left)]
+    br = flat[flat_idx(bottom, right)]
+
+    top_v = tl + (tr - tl) * x_lerp[:, None, :, None]
+    bot_v = bl + (br - bl) * x_lerp[:, None, :, None]
+    out = top_v + (bot_v - top_v) * y_lerp[:, :, None, None]
+
+    valid = valid_y[:, :, None, None] & valid_x[:, None, :, None]
+    out = jnp.where(valid, out, jnp.asarray(extrapolation_value, flat.dtype))
+    return out.reshape(b, n, *out.shape[1:])
+
+
+def pyramid_roi_align_batched(features, boxes, crop_size, image_shape):
+    """:func:`pyramid_roi_align_gather_batched` with the MXU einsum backward.
+
+    features: sequence of [B, Hl, Wl, C]; boxes [B, N, 4] normalized; returns
+    [B, N, ch, cw, C]. Gradients: einsum into features, zero into boxes —
+    the batched generalization of :func:`pyramid_roi_align`'s backward (the
+    level masks and one-hot axis weights gain a leading batch dim and the
+    second einsum keeps it: ``bniy,bnixc->byxc``).
+    """
+    features = tuple(features)
+    shapes = tuple(f.shape[1:] for f in features)
+    dtypes = tuple(f.dtype for f in features)
+    b, n = boxes.shape[:2]
+
+    @jax.custom_vjp
+    def op(features, boxes):
+        return pyramid_roi_align_gather_batched(
+            features, boxes, crop_size, image_shape)
+
+    def fwd(features, boxes):
+        return op(features, boxes), boxes
+
+    def bwd(boxes_res, g):
+        geom = _sample_geometry(
+            shapes, boxes_res.reshape(b * n, 4), crop_size, image_shape)
+        (lvl_idx, valid_y, valid_x, top, bottom, y_lerp, left, right,
+         x_lerp) = geom
+        g32 = g.astype(jnp.float32)
+        grads = []
+        for l, shape in enumerate(shapes):
+            hl, wl, _ = shape
+            mask_n = (lvl_idx == l).astype(jnp.float32)
+            yw = _axis_weights(
+                top, bottom, y_lerp, valid_y.astype(jnp.float32), mask_n, hl
+            ).reshape(b, n, -1, hl)
+            xw = _axis_weights(
+                left, right, x_lerp, valid_x.astype(jnp.float32), mask_n, wl
+            ).reshape(b, n, -1, wl)
+            a = jnp.einsum(
+                "bnjx,bnijc->bnixc", xw, g32, preferred_element_type=jnp.float32
+            )
+            df = jnp.einsum(
+                "bniy,bnixc->byxc", yw, a, preferred_element_type=jnp.float32
             )
             grads.append(df.astype(dtypes[l]))
         return tuple(grads), jnp.zeros_like(boxes_res)
