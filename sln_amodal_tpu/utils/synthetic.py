@@ -21,6 +21,42 @@ import numpy as np
 from ..models.sln import init_params
 
 
+def rpn_biased_variables(config, seed: int = 0):
+    """Fresh init with ONLY the RPN biased to emit the top anchors.
+
+    Zeroed RPN bbox deltas + equal foreground logits make the proposal
+    layer emit a deterministic NMS-spread anchor tiling (the same RPN
+    trick as :func:`detection_biased_variables`), while the classifier
+    and mask heads keep their healthy random init. This is the right
+    *training* start for convergence tests: positives flow to the heads
+    from step 1 (anchors overlap GT at IoU>=0.5), and the heads start
+    from a trainable init instead of the zero-kernel saddle the
+    detection-biased checkpoint engineers for deterministic inference
+    (measured: training from `detection_biased_variables` collapses —
+    the RPN bias is unlearned within ~50 steps, proposals stop
+    overlapping GT, and every mrcnn loss drops to exactly 0).
+    """
+    variables = init_params(config, jax.random.PRNGKey(seed))
+    p = variables["params"]
+    p["rpn"]["conv_bbox"] = jax.tree_util.tree_map(
+        np.zeros_like, p["rpn"]["conv_bbox"])
+    p["rpn"]["conv_class"] = jax.tree_util.tree_map(
+        np.zeros_like, p["rpn"]["conv_class"])
+    rpn_bias = np.zeros_like(np.asarray(p["rpn"]["conv_class"]["bias"]))
+    rpn_bias[1::2] = 1.0  # (bg, fg) channel pairs, anchor-major
+    p["rpn"]["conv_class"]["bias"] = rpn_bias
+    # Detectron-style head init (tiny final cls/bbox layers): with identity
+    # frozen-BN stats a random backbone emits large un-normalized features,
+    # and default-init final layers then start at huge losses (measured
+    # mrcnn_bbox ~160) that clipped SGD oscillates on instead of descending.
+    # Near-zero finals start predictions at 0 — loss = log(C) / smooth-L1 of
+    # the targets — and gradients well-scaled, so the heads actually train.
+    for lin in ("linear_class", "linear_bbox"):
+        p["classifier"][lin]["kernel"] = (
+            np.asarray(p["classifier"][lin]["kernel"]) * 0.01)
+    return variables
+
+
 def detection_biased_variables(config):
     """Init params biased so inference emits the top anchors as detections.
 
