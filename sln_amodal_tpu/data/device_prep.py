@@ -108,7 +108,8 @@ def rle_encode_map(small: np.ndarray, budget: int):
     return starts, lo, hi, np.int32(n_runs)
 
 
-def encode_sample(dataset, config, image_id: int) -> Optional[Dict[str, np.ndarray]]:
+def encode_sample(dataset, config, image_id: int,
+                  dense_planes: bool = True) -> Optional[Dict[str, np.ndarray]]:
     """Light host-side encoding of one training sample (file IO + resize
     only). Returns None if the image has no objects (oracle-path parity:
     ``make_training_sample`` skips those).
@@ -117,7 +118,13 @@ def encode_sample(dataset, config, image_id: int) -> Optional[Dict[str, np.ndarr
     what actually ships over the link in the common case) and the dense
     uint32 planes (the fallback when a sample's run count exceeds the
     static budget; also the equivalence oracle). The dispatch stream picks
-    one per batch; the other never leaves the host."""
+    one per batch; the other never leaves the host.
+
+    ``dense_planes=False`` (the loader's setting) defers the dense format:
+    the dict carries the raw uint64 ``small_map`` instead of the two uint32
+    planes, and the batch collate materializes planes only for the rare
+    over-budget fallback batch — a fitting batch never pays the 16 MB/sample
+    plane split + 64 MB/batch ``np.stack`` on the (1-core) host."""
     image = dataset.load_image(image_id)
     image, _, _, _ = image_utils.resize_image(image, config.image_size)
 
@@ -132,16 +139,26 @@ def encode_sample(dataset, config, image_id: int) -> Optional[Dict[str, np.ndarr
     small = downsample_label_map(label_map, config.image_size)
     starts, lo, hi, n_runs = rle_encode_map(
         small, rle_budget_for(config.image_size))
-    return {
+    enc = {
         "image": np.ascontiguousarray(image, np.uint8),
-        "label_lo": (small & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-        "label_hi": (small >> np.uint64(32)).astype(np.uint32),
         "run_starts": starts,
         "run_lo": lo,
         "run_hi": hi,
         "n_runs": n_runs,
         "n_objects": np.int32(n_objects),
     }
+    if dense_planes:
+        enc["label_lo"] = (small & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        enc["label_hi"] = (small >> np.uint64(32)).astype(np.uint32)
+    else:
+        enc["small_map"] = small
+    return enc
+
+
+def planes_from_small(small: np.ndarray):
+    """uint64 label map → (lo, hi) uint32 planes (the dense-upload format)."""
+    return ((small & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (small >> np.uint64(32)).astype(np.uint32))
 
 
 # ------------------------------------------------------------------- device
@@ -476,9 +493,26 @@ class DevicePrepLoader(TrainLoader):
                 self.config, augment=self.augment, mesh=self._mesh, rle=rle)
         return self._prepare_cache[rle]
 
+    def _collate(self, batch):
+        """Stack without ever materializing the dense planes for a batch
+        whose every sample fits the RLE budget (the common case) — they cost
+        16 MB/sample of host memcpy on this 1-core host and never leave it.
+        An over-budget batch reconstructs the planes from the raw uint64
+        maps right here (rare; single-process only — multi-host filters
+        overflow samples in ``_make_one_sample``)."""
+        keys = ("image", "run_starts", "run_lo", "run_hi", "n_runs",
+                "n_objects")
+        out = {k: np.stack([b[k] for b in batch]) for k in keys}
+        if int(out["n_runs"].max()) > self._rle_budget:
+            planes = [planes_from_small(b["small_map"]) for b in batch]
+            out["label_lo"] = np.stack([p[0] for p in planes])
+            out["label_hi"] = np.stack([p[1] for p in planes])
+        return out
+
     # the worker threads call this per image (base class hook)
     def _make_one_sample(self, image_id: int, rng):
-        enc = encode_sample(self.dataset, self.config, image_id)
+        enc = encode_sample(
+            self.dataset, self.config, image_id, dense_planes=False)
         if (enc is not None and self._multi
                 and int(enc["n_runs"]) > self._rle_budget):
             # multi-host runs execute ONE SPMD prep program per run — a

@@ -233,6 +233,11 @@ class TrainLoader:
             rng=rng, augment=self.augment,
         )
 
+    def _collate(self, batch) -> Dict[str, np.ndarray]:
+        """Stack a list of sample dicts into one batch dict (hook —
+        ``DevicePrepLoader`` overrides to defer the dense-plane format)."""
+        return {k: np.stack([b[k] for b in batch]) for k in batch[0]}
+
     def _sample_stream(self) -> Iterator[Dict[str, np.ndarray]]:
         return self._sample_stream_with(self.rng)
 
@@ -272,9 +277,7 @@ class TrainLoader:
             while not stop.is_set():
                 batch.append(next(stream))
                 if len(batch) == self.batch_size:
-                    stacked = {
-                        k: np.stack([b[k] for b in batch]) for k in batch[0]
-                    }
+                    stacked = self._collate(batch)
                     while not stop.is_set():
                         try:
                             q.put(stacked, timeout=0.2)
