@@ -69,6 +69,12 @@ class Config:
     # MSC extra scales (reference: (0.5, 0.75) + the base scale, max-fused).
     # () runs single-scale — ~2x faster GLM at some accuracy cost (non-parity).
     glm_scales: Tuple[float, ...] = (0.5, 0.75)
+    # Lowering of the trunk's 3x3 dilated convs (layer4 r=2, layer5 r=4):
+    # 'conv' = XLA kernel_dilation, 's2b' = space-to-batch dense conv,
+    # 'tapmm' = one [BHW,Cin]x[Cin,9Cout] matmul + shifted accumulation.
+    # Same math modulo f32 summation order (tests/test_dilated_lowering.py);
+    # pick by measurement on the target chip (scripts/profile_dilated.py).
+    glm_dilated_lowering: str = "conv"
 
     max_gt_instances: int = 50
 

@@ -85,7 +85,8 @@ class SLNAmodal(nn.Module):
         self.classifier = ClassifierHead(cfg.num_classes, cfg.pool_size, dtype=dtype)
         self.mask = MaskHead(cfg.num_classes, dtype=dtype)
         self.glm = DeepLabV2MSC(cfg.glm_num_classes, scales=cfg.glm_scales,
-                                dtype=dtype)
+                                dtype=dtype,
+                                dilated_lowering=cfg.glm_dilated_lowering)
         if cfg.use_refine_head:
             self.amodal_refine = RefineHead(cfg.num_classes, dtype=dtype)
         # anchors carry the pipeline's f32-rounded values; staging through
