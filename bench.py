@@ -298,8 +298,11 @@ def bench_train_pipeline(steps=8, batch=8, size=1024):
     measured 10.0 s/step with the host-numpy loader vs 1.69 s with
     on-device prep on this link (see COMPONENTS.md).
 
-    Times the SECOND epoch via on_epoch_end (the first absorbs program
-    cache load + loader warmup)."""
+    The first epoch absorbs program cache load + loader warmup; the metric
+    is the MIN of the next two epochs' mean step times — the tunneled
+    link's throughput swings hour to hour (measured 727 vs 1951 ms/step for
+    identical code), and a one-epoch sample inherits that jitter wholesale.
+    Min-of-two is the same defense loop_time applies to transport jitter."""
     import os
     import sys
 
@@ -317,9 +320,10 @@ def bench_train_pipeline(steps=8, batch=8, size=1024):
     def mark(epoch, params):
         marks.append(time.perf_counter())
 
-    trainer.train_stage(loader, "heads", config.learning_rate, epochs=2,
+    trainer.train_stage(loader, "heads", config.learning_rate, epochs=3,
                         steps_per_epoch=steps, on_epoch_end=mark)
-    return (marks[1] - marks[0]) / steps * 1e3  # ms/step steady-state
+    deltas = [marks[i + 1] - marks[i] for i in range(len(marks) - 1)]
+    return min(deltas) / steps * 1e3  # ms/step steady-state, jitter-robust
 
 
 def bench_nms_kernel(iters=50):

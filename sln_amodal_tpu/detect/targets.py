@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.boxes import box_iou, box_refinement
-from ..ops.roi_align import crop_and_resize
+from ..ops.roi_align import crop_and_resize_blocked as crop_and_resize
 
 
 class RoiTargets(NamedTuple):

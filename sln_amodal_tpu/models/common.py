@@ -258,6 +258,31 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return y.astype(dtype)
 
 
+def resize_bilinear_2d(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """:func:`resize_bilinear` for a channel-less [B, H, W] map.
+
+    Same separable half-pixel matmuls and dtype rules; keeps the WIDE
+    spatial axis minor instead of a 1-wide channel axis — resizing a
+    [B, H, W, 1] map through the 4-D path puts that single channel in the
+    128-lane dimension (1/128 utilization). Used for the GLM's full-res
+    argmax-label upsample."""
+    h, w = x.shape[1:3]
+    oh, ow = size
+    dtype = x.dtype
+    if x.dtype == jnp.dtype("float64"):
+        cdtype = jnp.float64
+    elif x.dtype == jnp.bfloat16:
+        cdtype = jnp.bfloat16
+    else:
+        cdtype = jnp.float32
+    y = x.astype(cdtype)
+    if oh != h:
+        y = jnp.einsum("oh,bhw->bow", jnp.asarray(_resize_matrix(h, oh), cdtype), y)
+    if ow != w:
+        y = jnp.einsum("pw,bhw->bhp", jnp.asarray(_resize_matrix(w, ow), cdtype), y)
+    return y.astype(dtype)
+
+
 def subsample_2x(x: jnp.ndarray) -> jnp.ndarray:
     """Stride-2 subsample = the reference's MaxPool2d(kernel=1, stride=2)
     used for FPN P6 (modals.py:212)."""

@@ -38,9 +38,9 @@ from ..detect.detection import refine_detections
 from ..detect.proposal import proposal_layer_batched
 from ..detect.targets import RoiTargets, detection_target_layer
 from ..ops.anchors import config_anchors
-from ..ops.roi_align import crop_and_resize, pyramid_roi_align_batched
+from ..ops.roi_align import crop_and_resize_blocked, pyramid_roi_align_batched
 from .backbone import ResNetFPN
-from .common import resize_bilinear
+from .common import resize_bilinear, resize_bilinear_2d
 from .deeplab import DeepLabV2MSC
 from .heads import ClassifierHead, MaskHead, RefineHead, RPNHead
 
@@ -128,9 +128,7 @@ class SLNAmodal(nn.Module):
         )                                              # [B, g, g, 183]
         if not need_label:
             return prior, None
-        global_label = resize_bilinear(
-            label[..., None].astype(jnp.float32), (h, w)
-        )[..., 0]
+        global_label = resize_bilinear_2d(label.astype(jnp.float32), (h, w))
         return prior, global_label
 
     def _proposals(self, rpn_probs, rpn_deltas, proposal_count):
@@ -195,7 +193,7 @@ class SLNAmodal(nn.Module):
             )
         else:
             # crop_and_resize is already batch-native via box_indices
-            glm_crops = crop_and_resize(
+            glm_crops = crop_and_resize_blocked(
                 glm_prior, glm_boxes.reshape(b * n, 4),
                 jnp.repeat(jnp.arange(b, dtype=jnp.int32), n), (m, m),
             ).reshape(b, n, m, m, -1)
@@ -343,14 +341,14 @@ class SLNAmodal(nn.Module):
             mh = cfg.mask_shape[0]
 
             def crop_img(img_i, rois_i):
-                return crop_and_resize(
+                return crop_and_resize_blocked(
                     img_i[None] / 140.0, rois_i, jnp.zeros((t,), jnp.int32), (mh, mh)
                 )
 
             img_crop = jax.vmap(crop_img)(images, sampled)
 
             def crop_lab(prior_i, rois_i):
-                return crop_and_resize(
+                return crop_and_resize_blocked(
                     prior_i[None, ..., -1:], rois_i, jnp.zeros((t,), jnp.int32),
                     (mh, mh),
                 )

@@ -552,7 +552,11 @@ def pyramid_roi_align_batched(features, boxes, crop_size, image_shape):
 
     @jax.custom_vjp
     def op(features, boxes):
-        return pyramid_roi_align_gather_batched(
+        # footprint-blocked gather: bit-identical to the row-gather form,
+        # fewer gather indices (the faster of the two on v5e — see the
+        # blocked-gather note above; the row-gather form stays as the
+        # equivalence oracle in tests/test_roi_align_blocked.py)
+        return pyramid_roi_align_gather_batched_blocked(
             features, boxes, crop_size, image_shape)
 
     def fwd(features, boxes):

@@ -56,3 +56,18 @@ def test_bf16_resize_drift(hw_in, hw_out):
     scale = np.abs(f32).max()
     # two bf16 roundings (weights + data) plus the input cast: ~3 ulps
     assert np.abs(bf16 - f32).max() <= 3 * 2.0**-8 * scale
+
+
+@pytest.mark.parametrize("hw_in,hw_out", [((65, 65), (128, 128)),
+                                          ((33, 47), (64, 80))])
+def test_resize_2d_matches_4d_channel1(hw_in, hw_out):
+    """resize_bilinear_2d (the GLM label upsample's lane-friendly form) must
+    equal the 4-D path on a [..., 1] map — same matrices, same order."""
+    from sln_amodal_tpu.models.common import resize_bilinear, resize_bilinear_2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, *hw_in).astype(np.float32))
+    a = resize_bilinear_2d(x, hw_out)
+    b = resize_bilinear(x[..., None], hw_out)[..., 0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
