@@ -277,15 +277,21 @@ def bench_eval_pipeline(config, batch=8, n_images=32):
     drain(det.dispatch(batches[0]))  # compile + warm the host path
     assert n_dets > 0, "biased checkpoint produced no detections"
 
-    t0 = time.perf_counter()
-    pending = None
-    for imgs in batches:
-        handle = det.dispatch(imgs)
-        if pending is not None:
-            drain(pending)
-        pending = handle
-    drain(pending)
-    dt = time.perf_counter() - t0
+    def one_pass():
+        t0 = time.perf_counter()
+        pending = None
+        for imgs in batches:
+            handle = det.dispatch(imgs)
+            if pending is not None:
+                drain(pending)
+            pending = handle
+        drain(pending)
+        return time.perf_counter() - t0
+
+    # best of two passes: the tunneled link's upload throughput swings
+    # hour-to-hour (observed 5.3 vs 10.5 img/s for identical code); min-time
+    # is the same one-sided-jitter defense loop_time applies
+    dt = min(one_pass(), one_pass())
     return n_images / dt
 
 
