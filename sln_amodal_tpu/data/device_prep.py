@@ -518,8 +518,10 @@ class DevicePrepLoader(TrainLoader):
             # multi-host runs execute ONE SPMD prep program per run — a
             # per-batch dense fallback would desynchronize the processes'
             # compiled programs. Route the (pathological) overflow sample
-            # through the loader's skip-and-count containment instead.
-            raise ValueError(
+            # through the loader's overflow-skip containment, which counts
+            # these separately and warns when the drop rate is systematic.
+            from .pipeline import SampleOverflowError
+            raise SampleOverflowError(
                 f"sample {image_id} needs {int(enc['n_runs'])} RLE runs > "
                 f"budget {self._rle_budget}; skipped on multi-host runs")
         return enc

@@ -202,6 +202,13 @@ def make_training_sample(dataset, config, image_id: int, anchors: np.ndarray,
     }
 
 
+class SampleOverflowError(ValueError):
+    """A sample exceeded a static capacity budget (e.g. RLE run count on
+    multi-host runs) and was dropped by the containment path. Counted
+    separately from corrupt-data skips so systematic data loss is visible
+    rather than silently biasing training."""
+
+
 class TrainLoader:
     """Shuffled, prefetching batch iterator (the reference's 4-worker
     DataLoader role, as one background thread + queue)."""
@@ -219,6 +226,8 @@ class TrainLoader:
         self.prefetch = prefetch
         self.workers = max(1, workers)
         self.error_count = 0
+        self.overflow_count = 0
+        self._samples_seen = 0
         # multi-host: each process streams only its own dataset slice
         # (parallel/multihost.py; single process ⇒ the full id list)
         from ..parallel.multihost import partition_ids
@@ -252,8 +261,27 @@ class TrainLoader:
                 # failure containment: a corrupt image / missing .npz is
                 # skipped and counted instead of killing the epoch (the
                 # reference's unused error_count, model.py:62, made real).
+                self._samples_seen += 1
                 try:
                     s = self._make_one_sample(int(image_id), rng)
+                except SampleOverflowError as e:
+                    # capacity overflow, not corruption: count it on its own
+                    # so a dataset that systematically blows the static
+                    # budget is loudly visible instead of silently biased
+                    self.overflow_count += 1
+                    rate = self.overflow_count / max(self._samples_seen, 1)
+                    print(f"[TrainLoader] skipping image {image_id}: {e!r} "
+                          f"(overflow_skips={self.overflow_count})")
+                    if self.overflow_count >= 8 and rate > 0.01:
+                        print(
+                            f"[TrainLoader] WARNING: {self.overflow_count}/"
+                            f"{self._samples_seen} samples "
+                            f"({100 * rate:.1f}%) dropped for capacity "
+                            f"overflow — training data is being "
+                            f"systematically filtered; raise the budget "
+                            f"(device_prep.rle_budget_for) or preprocess "
+                            f"the dataset.")
+                    continue
                 except (OSError, ValueError, KeyError) as e:
                     self.error_count += 1
                     print(f"[TrainLoader] skipping image {image_id}: {e!r} "

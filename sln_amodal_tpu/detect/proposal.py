@@ -39,10 +39,13 @@ def _nms_dispatch_batched(impl: str):
         return nms_sorted_pallas_batched
 
     def batched_xla(boxes, valid, *, max_outputs, iou_threshold,
-                    plus_one=True):
+                    plus_one=True, suppress_at_equal=False, pad_value=-1):
+        # full keyword parity with nms_sorted_pallas_batched so a caller
+        # passing the rarer knobs behaves identically on the non-TPU path
         return jax.vmap(lambda b, v: nms_sorted(
             b, v, max_outputs=max_outputs, iou_threshold=iou_threshold,
-            plus_one=plus_one))(boxes, valid)
+            plus_one=plus_one, suppress_at_equal=suppress_at_equal,
+            pad_value=pad_value))(boxes, valid)
 
     return batched_xla
 

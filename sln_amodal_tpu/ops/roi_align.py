@@ -117,9 +117,15 @@ def crop_and_resize_blocked(
     """:func:`crop_and_resize` with the footprint-blocked gather: one
     (1,2,2,C)-slice gather per sample instead of four row gathers —
     bit-identical outputs, ~4x fewer gather indices (see the blocked-gather
-    note below)."""
+    note below).
+
+    Falls back to the row-gather form for narrow channel counts: XLA lowers
+    the (1,2,2,C)-slice gather on large tables to a SERIAL while loop when C
+    is tiny (measured: C=1 GT-mask crops at [50,1024,1024,1] ran 102,400
+    dynamic-slice iterations = 228 ms inside the train step, vs <1 ms as a
+    row gather), while C>=184 production uses are faster blocked."""
     b, h, w, c = image.shape
-    if h < 2 or w < 2:
+    if h < 2 or w < 2 or c < _BLOCKED_MIN_CHANNELS:
         return crop_and_resize(
             image, boxes, box_indices, crop_size, extrapolation_value)
     ch, cw = crop_size
@@ -275,6 +281,14 @@ def pyramid_roi_align_gather(
 
 # ---------------------------------------------------------- blocked gather ---
 #
+# Minimum channel width for the footprint-blocked gather to beat the row
+# gather. Below this, XLA can lower the multi-dim (1,2,2,C) slice to a serial
+# while loop (one dynamic-slice per index) on large tables — catastrophically
+# slow — whereas the plain point gather always vectorizes. Production blocked
+# uses are C=184 (GLM prior) and C=256 (FPN); the C=1/C=3 crop sites (GT mask
+# targets, refine-head seams) take the row-gather path.
+_BLOCKED_MIN_CHANNELS = 32
+
 # XLA's TPU gather costs ~10 ns PER INDEX here regardless of the gathered
 # row's width (measured: 1.57M 512-B rows -> 15.3 ms, 819k 366-B rows ->
 # 8.5 ms; scripts/profile_roihead.py) — index-overhead-bound, not
@@ -478,10 +492,19 @@ def pyramid_roi_align_gather_batched_blocked(
     a slice never crosses into a neighbouring level or the width padding.
     Outputs are bit-identical to the row-gather form; gather index count
     drops 4x (the measured cost is ~10 ns/index regardless of slice bytes —
-    scripts/profile_roihead.py)."""
+    scripts/profile_roihead.py).
+
+    Falls back to the row-gather form when any level dim is < 2 (the y0/x0
+    clamp to dim-2 would go negative and the 2x2 slice would cross into a
+    neighbouring level or the width padding) or when the channel count is
+    below :data:`_BLOCKED_MIN_CHANNELS` (serial-loop lowering — see
+    :func:`crop_and_resize_blocked`)."""
     b, n = boxes.shape[:2]
     shapes = tuple(f.shape[1:] for f in features)
     c = shapes[0][-1]
+    if any(sh[0] < 2 or sh[1] < 2 for sh in shapes) or c < _BLOCKED_MIN_CHANNELS:
+        return pyramid_roi_align_gather_batched(
+            features, boxes, crop_size, image_shape, extrapolation_value)
     heights = np.array([sh[0] for sh in shapes], np.int32)
     widths = np.array([sh[1] for sh in shapes], np.int32)
     wmax = int(widths.max())

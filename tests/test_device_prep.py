@@ -357,3 +357,40 @@ def test_device_prep_loader_rejects_legacy_dataset(synth, tmp_path, monkeypatch)
         synth.image_info[int(synth.image_ids[0])], "path", missing)
     with pytest.raises(ValueError, match="device_prep"):
         DevicePrepLoader(synth, cfg, seed=0, workers=1)
+
+
+def test_overflow_skips_counted_separately(synth, capsys):
+    """A sample whose RLE run count exceeds the static budget on a multi-host
+    run is dropped via SampleOverflowError — counted apart from corrupt-data
+    errors, with a loud warning once the drop rate is systematic (ADVICE r4:
+    silent filtering would bias training invisibly)."""
+    from sln_amodal_tpu.data.pipeline import SampleOverflowError
+
+    cfg = _prep_config().replace(batch_size=1)
+    loader = DevicePrepLoader(synth, cfg, seed=0, augment=False, workers=1)
+    loader._multi = True   # pretend multi-host: dense fallback forbidden
+    loader._rle_budget = 0  # every sample overflows
+
+    with pytest.raises(SampleOverflowError, match="RLE runs"):
+        loader._make_one_sample(int(synth.image_ids[0]), loader.rng)
+
+    # the containment loop counts overflow on its own counter and warns
+    # when the rate is systematic (alternate per CALL so the assertion is
+    # independent of the stream's shuffle order)
+    calls = [0]
+
+    def alternating(image_id, rng):
+        calls[0] += 1
+        if calls[0] % 2 == 1:
+            raise SampleOverflowError(f"sample {image_id} needs RLE runs")
+        return {"ok": calls[0]}
+
+    loader._make_one_sample = alternating
+    stream = loader._sample_stream()
+    got = [next(stream) for _ in range(8)]
+    assert [g["ok"] for g in got] == [2, 4, 6, 8, 10, 12, 14, 16]
+    assert loader.overflow_count == 8
+    assert loader.error_count == 0
+    out = capsys.readouterr().out
+    assert "overflow_skips=" in out
+    assert "systematically filtered" in out

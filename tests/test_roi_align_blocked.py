@@ -42,7 +42,9 @@ def _boxes_with_edges(rng, n):
 @pytest.mark.parametrize("crop", [(7, 7), (16, 16), (1, 1), (3, 5)])
 def test_crop_and_resize_blocked_bit_identical(dtype, crop):
     rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.randn(3, 21, 17, 5).astype(np.float32)).astype(dtype)
+    # C >= _BLOCKED_MIN_CHANNELS so the blocked gather path itself runs
+    # (narrow channels dispatch to the row-gather fallback — tested below)
+    img = jnp.asarray(rng.randn(3, 21, 17, 32).astype(np.float32)).astype(dtype)
     boxes = jnp.asarray(_boxes_with_edges(rng, 40))
     bi = jnp.asarray(rng.randint(0, 3, (boxes.shape[0],)).astype(np.int32))
     a = crop_and_resize(img, boxes, bi, crop, extrapolation_value=-7.0)
@@ -60,13 +62,67 @@ def test_crop_and_resize_blocked_tiny_image_falls_back():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_blocked_narrow_channels_take_row_gather(monkeypatch):
+    """Narrow-channel inputs (the C=1 GT-mask crop, the C=3/C=1 refine-head
+    crops) must NOT reach the (1,2,2,C)-slice gather — XLA lowers it to a
+    serial while loop on large tables (measured 228 ms inside the train
+    step). The dispatch is static, so we assert the block gather is never
+    invoked."""
+    import sln_amodal_tpu.ops.roi_align as ra
+
+    def boom(*a, **k):
+        raise AssertionError("blocked gather used for narrow channels")
+
+    monkeypatch.setattr(ra, "_gather_blocks", boom)
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.randn(2, 33, 29, 1).astype(np.float32))
+    boxes = jnp.asarray(_boxes_with_edges(rng, 10))
+    bi = jnp.asarray(rng.randint(0, 2, (boxes.shape[0],)).astype(np.int32))
+    a = ra.crop_and_resize(img, boxes, bi, (5, 5))
+    b = ra.crop_and_resize_blocked(img, boxes, bi, (5, 5))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    feats = tuple(
+        jnp.asarray(rng.randn(2, 16 // s, 16 // s, 4).astype(np.float32))
+        for s in (1, 2, 4, 8)
+    )
+    bb = jnp.asarray(np.stack([_boxes_with_edges(rng, 6)[:8]] * 2))
+    a = ra.pyramid_roi_align_gather_batched(feats, bb, (3, 3), (16, 16))
+    b = ra.pyramid_roi_align_gather_batched_blocked(feats, bb, (3, 3), (16, 16))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pyramid_blocked_tiny_level_falls_back(monkeypatch):
+    """A pyramid whose coarsest level is 1x1 (image_size < 64) must fall back
+    to the row-gather form: the blocked y0/x0 clamp to (dim-2) would go
+    negative and the 2x2 slice would cross into a neighbouring level."""
+    import sln_amodal_tpu.ops.roi_align as ra
+
+    def boom(*a, **k):
+        raise AssertionError("blocked gather used with a <2-sized level")
+
+    monkeypatch.setattr(ra, "_gather_blocks", boom)
+    rng = np.random.RandomState(5)
+    size = 32  # P5 = 32/32 = 1x1
+    feats = tuple(
+        jnp.asarray(rng.randn(1, max(size // s, 1), max(size // s, 1), 64)
+                    .astype(np.float32))
+        for s in (4, 8, 16, 32)
+    )
+    boxes = jnp.asarray(_boxes_with_edges(rng, 12)[None])
+    a = ra.pyramid_roi_align_gather_batched(feats, boxes, (7, 7), (size, size))
+    b = ra.pyramid_roi_align_gather_batched_blocked(
+        feats, boxes, (7, 7), (size, size))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize("crop", [(7, 7), (16, 16)])
 def test_pyramid_batched_blocked_bit_identical(dtype, crop):
     rng = np.random.RandomState(2)
     size = 64
     feats = tuple(
-        jnp.asarray(rng.randn(2, size // s, size // s, 8).astype(np.float32))
+        jnp.asarray(rng.randn(2, size // s, size // s, 32).astype(np.float32))
         .astype(dtype)
         for s in (4, 8, 16, 32)
     )
@@ -85,7 +141,7 @@ def test_pyramid_batched_blocked_under_jit_and_grad():
     rng = np.random.RandomState(3)
     size = 64
     feats = tuple(
-        jnp.asarray(rng.randn(1, size // s, size // s, 4).astype(np.float32))
+        jnp.asarray(rng.randn(1, size // s, size // s, 32).astype(np.float32))
         for s in (4, 8, 16, 32)
     )
     boxes = jnp.asarray(rng.uniform(0.1, 0.9, (1, 6, 4)).astype(np.float32))
