@@ -372,6 +372,17 @@ def bench_aspp_kernel(config, variables, iters=50):
     ) * 1e3
 
 
+def _want(name: str) -> bool:
+    """``python bench.py --only REGEX`` runs only matching metrics (search
+    semantics). No args = the full suite, unchanged driver behavior."""
+    import re
+
+    if "--only" not in sys.argv:
+        return True
+    pat = sys.argv[sys.argv.index("--only") + 1]
+    return re.search(pat, name) is not None
+
+
 def main() -> None:
     import jax
 
@@ -393,32 +404,39 @@ def main() -> None:
     # shared random param tree is built only after them for the same reason.
     # Every metric runs under run_metric: bounded retries vs transport
     # flakes, explicit error record in the JSON on final failure.
-    ips = run_metric("eval_pipeline_images_per_sec_1024",
-                     lambda: bench_eval_pipeline(config))
-    if ips is not None:
-        emit("eval_pipeline_images_per_sec_1024", ips, "images/s",
-             ips / REFERENCE_IMAGES_PER_SEC)
-    ms = run_metric("train_pipeline_ms_b8", bench_train_pipeline)
-    if ms is not None:
-        # vs the reference's est. 1000 ms/step at batch 1 → 8000 ms for 8
-        emit("train_pipeline_ms_b8", ms, "ms/step",
-             8 * REFERENCE_TRAIN_STEP_MS / ms)
+    if _want("eval_pipeline_images_per_sec_1024"):
+        ips = run_metric("eval_pipeline_images_per_sec_1024",
+                         lambda: bench_eval_pipeline(config))
+        if ips is not None:
+            emit("eval_pipeline_images_per_sec_1024", ips, "images/s",
+                 ips / REFERENCE_IMAGES_PER_SEC)
+    if _want("train_pipeline_ms_b8"):
+        ms = run_metric("train_pipeline_ms_b8", bench_train_pipeline)
+        if ms is not None:
+            # vs the reference's est. 1000 ms/step at batch 1 → 8000 ms for 8
+            emit("train_pipeline_ms_b8", ms, "ms/step",
+                 8 * REFERENCE_TRAIN_STEP_MS / ms)
 
     variables = init_params(config, jax.random.PRNGKey(0))
-    ms = run_metric("train_step_ms_b1",
-                    lambda: bench_train_step(config, variables, batch=1))
-    if ms is not None:
-        emit("train_step_ms_b1", ms, "ms/step", REFERENCE_TRAIN_STEP_MS / ms)
-    ms = run_metric(
-        "train_step_ms_b8",
-        lambda: bench_train_step(config, variables, batch=8, iters=4))
-    if ms is not None:
-        emit("train_step_ms_b8", ms, "ms/step",
-             8 * REFERENCE_TRAIN_STEP_MS / ms)  # images/s advantage
-    res = run_metric(
-        "train_step_all_ms_b8",
-        lambda: bench_train_step(config, variables, batch=8, iters=4,
-                                 stage="all", with_flops=True))
+    if _want("train_step_ms_b1"):
+        ms = run_metric("train_step_ms_b1",
+                        lambda: bench_train_step(config, variables, batch=1))
+        if ms is not None:
+            emit("train_step_ms_b1", ms, "ms/step",
+                 REFERENCE_TRAIN_STEP_MS / ms)
+    if _want("train_step_ms_b8"):
+        ms = run_metric(
+            "train_step_ms_b8",
+            lambda: bench_train_step(config, variables, batch=8, iters=4))
+        if ms is not None:
+            emit("train_step_ms_b8", ms, "ms/step",
+                 8 * REFERENCE_TRAIN_STEP_MS / ms)  # images/s advantage
+    res = None
+    if _want("train_step_all_ms_b8"):
+        res = run_metric(
+            "train_step_all_ms_b8",
+            lambda: bench_train_step(config, variables, batch=8, iters=4,
+                                     stage="all", with_flops=True))
     if res is not None:
         ms, flops_per_sec = res
         emit("train_step_all_ms_b8", ms, "ms/step",
@@ -430,30 +448,36 @@ def main() -> None:
             print(json.dumps({"metric": "train_step_mfu_b8",
                               "error": "cost_analysis unavailable"}),
                   flush=True)
-    ms = run_metric("nms_kernel_ms_6000", bench_nms_kernel)
-    if ms is not None:
-        # vs the exact XLA scalar-loop implementation (10.4 ms measured)
-        emit("nms_kernel_ms_6000", ms, "ms", 10.4 / ms)
-    ms = run_metric("aspp_kernel_ms_65sq",
-                    lambda: bench_aspp_kernel(config, variables))
-    if ms is not None:
-        # vs XLA's dilated-conv lowering of the same op (7.18 ms measured)
-        emit("aspp_kernel_ms_65sq", ms, "ms", 7.18 / ms)
-    ips = run_metric(
-        "inference_noglm_images_per_sec_1024",
-        lambda: bench_inference(
-            config.replace(glm_elide_at_inference=True), variables, 1,
-            "infer_detect_only"))
-    if ips is not None:
-        emit("inference_noglm_images_per_sec_1024", ips, "images/s",
-             ips / REFERENCE_IMAGES_PER_SEC)
-    ips = run_metric(
-        "inference_batch8_images_per_sec_1024",
-        lambda: bench_inference(config, variables, 8, "infer", iters=4))
-    if ips is not None:
-        emit("inference_batch8_images_per_sec_1024", ips, "images/s",
-             ips / REFERENCE_IMAGES_PER_SEC)
+    if _want("nms_kernel_ms_6000"):
+        ms = run_metric("nms_kernel_ms_6000", bench_nms_kernel)
+        if ms is not None:
+            # vs the exact XLA scalar-loop implementation (10.4 ms measured)
+            emit("nms_kernel_ms_6000", ms, "ms", 10.4 / ms)
+    if _want("aspp_kernel_ms_65sq"):
+        ms = run_metric("aspp_kernel_ms_65sq",
+                        lambda: bench_aspp_kernel(config, variables))
+        if ms is not None:
+            # vs XLA's dilated-conv lowering of the same op (7.18 ms measured)
+            emit("aspp_kernel_ms_65sq", ms, "ms", 7.18 / ms)
+    if _want("inference_noglm_images_per_sec_1024"):
+        ips = run_metric(
+            "inference_noglm_images_per_sec_1024",
+            lambda: bench_inference(
+                config.replace(glm_elide_at_inference=True), variables, 1,
+                "infer_detect_only"))
+        if ips is not None:
+            emit("inference_noglm_images_per_sec_1024", ips, "images/s",
+                 ips / REFERENCE_IMAGES_PER_SEC)
+    if _want("inference_batch8_images_per_sec_1024"):
+        ips = run_metric(
+            "inference_batch8_images_per_sec_1024",
+            lambda: bench_inference(config, variables, 8, "infer", iters=4))
+        if ips is not None:
+            emit("inference_batch8_images_per_sec_1024", ips, "images/s",
+                 ips / REFERENCE_IMAGES_PER_SEC)
     # --- headline: full-parity batch-1 inference (GLM on), printed last ----
+    if not _want("inference_images_per_sec_1024"):
+        return
     res = run_metric(
         "inference_images_per_sec_1024",
         lambda: bench_inference(config, variables, 1, "infer",

@@ -31,6 +31,12 @@ from sln_amodal_tpu.detect.detection import refine_detections
 from sln_amodal_tpu.utils.benchmark import loop_time
 
 config = inference_config(compute_dtype="bfloat16")
+# optional overrides: python scripts/profile_prefix.py [batch] [roi_impl]
+# [glm_crop_impl] — e.g. "blocked gather" to reproduce the pre-patch paths
+if len(sys.argv) > 2:
+    config = config.replace(roi_align_impl=sys.argv[2])
+if len(sys.argv) > 3:
+    config = config.replace(glm_crop_impl=sys.argv[3])
 model = SLNAmodal(config)
 variables = init_params(config, jax.random.PRNGKey(0))
 

@@ -120,6 +120,16 @@ class Config:
     compute_dtype: str = "bfloat16"   # conv/matmul compute dtype on TPU
     param_dtype: str = "float32"
     nms_impl: str = "auto"            # 'pallas' | 'xla' | 'auto' (pallas on TPU)
+    # RoIAlign forward for the FPN heads: 'blocked' = footprint-blocked XLA
+    # gather, 'patch' = Pallas patch-DMA kernel (ops/roi_patch_pallas.py),
+    # 'auto' = patch on TPU / blocked elsewhere. The backward is the MXU
+    # einsum custom-VJP either way.
+    roi_align_impl: str = "auto"
+    # GLM-prior crop for the mask head: 'gather' = blocked-gather
+    # crop_and_resize, 'dense' = separable-einsum dense crop of the small
+    # 65^2 prior table (MXU work instead of bandwidth-ceiling gathers),
+    # 'auto' = dense on TPU / gather elsewhere.
+    glm_crop_impl: str = "auto"
 
     # ----------------------------------------------------------------------
     @property

@@ -38,7 +38,11 @@ from ..detect.detection import refine_detections
 from ..detect.proposal import proposal_layer_batched
 from ..detect.targets import RoiTargets, detection_target_layer
 from ..ops.anchors import config_anchors
-from ..ops.roi_align import crop_and_resize_blocked, pyramid_roi_align_batched
+from ..ops.roi_align import (
+    crop_and_resize_blocked,
+    crop_and_resize_dense_batched,
+    pyramid_roi_align_batched,
+)
 from .backbone import ResNetFPN
 from .common import resize_bilinear, resize_bilinear_2d
 from .deeplab import DeepLabV2MSC
@@ -163,7 +167,7 @@ class SLNAmodal(nn.Module):
         # (vmap-lifting the per-image op measured ~2x per-image cost at b=8)
         crops = pyramid_roi_align_batched(
             feats_per_image, rois, (cfg.pool_size, cfg.pool_size),
-            (cfg.image_size, cfg.image_size),
+            (cfg.image_size, cfg.image_size), impl=cfg.roi_align_impl,
         )                                                    # [B,R,p,p,C]
         crops = crops.reshape(b * r, *crops.shape[2:])
         logits, probs, deltas = self.classifier(crops)
@@ -184,7 +188,8 @@ class SLNAmodal(nn.Module):
         m = cfg.mask_pool_size
 
         fpn_crops = pyramid_roi_align_batched(
-            feats_per_image, rois, (m, m), (cfg.image_size, cfg.image_size)
+            feats_per_image, rois, (m, m), (cfg.image_size, cfg.image_size),
+            impl=cfg.roi_align_impl,
         )
 
         if glm_prior is None:
@@ -192,11 +197,21 @@ class SLNAmodal(nn.Module):
                 (b, n, m, m, cfg.glm_num_classes + 1), fpn_crops.dtype
             )
         else:
-            # crop_and_resize is already batch-native via box_indices
-            glm_crops = crop_and_resize_blocked(
-                glm_prior, glm_boxes.reshape(b * n, 4),
-                jnp.repeat(jnp.arange(b, dtype=jnp.int32), n), (m, m),
-            ).reshape(b, n, m, m, -1)
+            impl = cfg.glm_crop_impl
+            if impl == "auto":
+                impl = ("dense" if jax.default_backend() in ("tpu", "axon")
+                        else "gather")
+            if impl == "dense":
+                # the prior table is small (65^2): two separable-
+                # interpolation einsums beat the bandwidth-ceiling gather
+                glm_crops = crop_and_resize_dense_batched(
+                    glm_prior, glm_boxes, (m, m))
+            else:
+                # crop_and_resize is already batch-native via box_indices
+                glm_crops = crop_and_resize_blocked(
+                    glm_prior, glm_boxes.reshape(b * n, 4),
+                    jnp.repeat(jnp.arange(b, dtype=jnp.int32), n), (m, m),
+                ).reshape(b, n, m, m, -1)
 
         fpn_crops = fpn_crops.reshape(b * n, m, m, -1)
         glm_crops = glm_crops.reshape(b * n, m, m, -1)

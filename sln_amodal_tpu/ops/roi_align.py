@@ -414,6 +414,56 @@ def pyramid_roi_align(features, boxes, crop_size, image_shape):
     return op(features, boxes)
 
 
+# ------------------------------------------------------- dense small-table ---
+
+
+def crop_and_resize_dense_batched(
+    image: jnp.ndarray,
+    boxes: jnp.ndarray,
+    crop_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """:func:`crop_and_resize` for a SMALL per-image table, as two separable
+    interpolation einsums instead of a gather.
+
+    image: [B, H, W, C]; boxes: [B, N, 4] normalized (each image's boxes crop
+    its own table — the mask head's GLM-prior pattern, sln.py::_mask_on).
+    Returns [B, N, ch, cw, C].
+
+    The bilinear crop is ``out[b,n,i,j,c] = Σ_pq Yw[b,n,i,p]·Xw[b,n,j,q]·
+    T[b,p,q,c]`` with 2-nonzero weight rows; for the 65²-cell GLM prior the
+    dense contraction is ~5 GFLOP of MXU work at the production shapes vs a
+    bandwidth-ceiling-bound gather (~55 GB/s — COMPONENTS.md). Invalid
+    (out-of-range) samples get zero weight rows == extrapolation value 0.
+    Accumulates in f32 (the gather path lerps in the feature dtype; same
+    ~bf16-ULP class of difference as the patch-DMA kernel).
+    """
+    b, h, w, c = image.shape
+    n = boxes.shape[1]
+    ch, cw = crop_size
+    flat_boxes = boxes.reshape(b * n, 4).astype(jnp.float32)
+    y1, x1, y2, x2 = (flat_boxes[:, i] for i in range(4))
+    in_y = _sample_coords(y1, y2, ch, float(h))
+    in_x = _sample_coords(x1, x2, cw, float(w))
+    valid_y = ((in_y >= 0) & (in_y <= h - 1)).astype(jnp.float32)
+    valid_x = ((in_x >= 0) & (in_x <= w - 1)).astype(jnp.float32)
+    top = jnp.clip(jnp.floor(in_y), 0, h - 1)
+    bottom = jnp.clip(jnp.ceil(in_y), 0, h - 1)
+    y_lerp = in_y - jnp.floor(in_y)
+    left = jnp.clip(jnp.floor(in_x), 0, w - 1)
+    right = jnp.clip(jnp.ceil(in_x), 0, w - 1)
+    x_lerp = in_x - jnp.floor(in_x)
+    ones = jnp.ones((b * n,), jnp.float32)
+    yw = _axis_weights(top, bottom, y_lerp, valid_y, ones, h)
+    xw = _axis_weights(left, right, x_lerp, valid_x, ones, w)
+    yw = yw.reshape(b, n, ch, h).astype(image.dtype)
+    xw = xw.reshape(b, n, cw, w).astype(image.dtype)
+    t1 = jnp.einsum("bnip,bpqc->bniqc", yw, image,
+                    preferred_element_type=jnp.float32).astype(image.dtype)
+    out = jnp.einsum("bnjq,bniqc->bnijc", xw, t1,
+                     preferred_element_type=jnp.float32)
+    return out.astype(image.dtype)
+
+
 # ------------------------------------------------------------ batch-native ---
 
 
@@ -559,7 +609,8 @@ def pyramid_roi_align_gather_batched_blocked(
     return out.reshape(b, n, ch, cw, c)
 
 
-def pyramid_roi_align_batched(features, boxes, crop_size, image_shape):
+def pyramid_roi_align_batched(features, boxes, crop_size, image_shape,
+                              impl: str = "blocked"):
     """:func:`pyramid_roi_align_gather_batched` with the MXU einsum backward.
 
     features: sequence of [B, Hl, Wl, C]; boxes [B, N, 4] normalized; returns
@@ -567,14 +618,25 @@ def pyramid_roi_align_batched(features, boxes, crop_size, image_shape):
     the batched generalization of :func:`pyramid_roi_align`'s backward (the
     level masks and one-hot axis weights gain a leading batch dim and the
     second einsum keeps it: ``bniy,bnixc->byxc``).
+
+    ``impl`` picks the forward: 'blocked' = footprint-blocked gather
+    (bit-identical to the row-gather oracle), 'patch' = the Pallas
+    patch-DMA kernel (ops/roi_patch_pallas.py — f32-accumulated, ~1e-6 of
+    the gather path in f32), 'auto' = patch on TPU, blocked elsewhere.
     """
     features = tuple(features)
     shapes = tuple(f.shape[1:] for f in features)
     dtypes = tuple(f.dtype for f in features)
     b, n = boxes.shape[:2]
+    if impl == "auto":
+        impl = "patch" if jax.default_backend() in ("tpu", "axon") else "blocked"
 
     @jax.custom_vjp
     def op(features, boxes):
+        if impl == "patch":
+            from .roi_patch_pallas import pyramid_roi_align_patch
+            return pyramid_roi_align_patch(
+                features, boxes, crop_size, image_shape)
         # footprint-blocked gather: bit-identical to the row-gather form,
         # fewer gather indices (the faster of the two on v5e — see the
         # blocked-gather note above; the row-gather form stays as the
